@@ -1,0 +1,236 @@
+"""Fused FEM quadrature evaluation / Galerkin projection / scatter assembly.
+
+TPU-native replacement for the reference conv-quadrature engine
+(reference: DiffNet/DiffNetFEM.py:7-18,143-174 — one ``F.conv2d`` per Gauss
+point per quantity; a Navier-Stokes step issues 13+ of them, re-reading the
+field from HBM each time).
+
+Redesign: on a uniform tensor-product mesh, "evaluate field u (and any set of
+derivatives) at all Gauss points of all elements" is
+
+    patches = gather_elements(u)            # [..., nel*, nbf_total]  (slices)
+    gp_vals = patches @ table.T             # ONE matmul on the MXU
+
+where ``table`` is the fused ``[n_quantities*ngp_total, nbf_total]`` basis
+matrix from :mod:`diffnet_tpu.core.quadrature`. The adjoint operation —
+Galerkin projection of a Gauss-point integrand onto nodal test functions
+(the reference's ``Nvalues * (...)`` reduction + ``Q1_vector_assembly``
+shifted-slice adds, tests/test.py:36-41) — is the transpose matmul followed by
+``scatter_elements``. Both directions read/write the field exactly once.
+
+Layout: fields are ``[..., y, x]`` (2D) / ``[..., z, y, x]`` (3D) with any
+leading batch dims; Gauss-point axes are appended LAST (channels-last, the
+efficient TPU layout), i.e. ``gp_eval`` returns ``[..., nelY, nelX, ngp]``
+rather than the reference's ``[B, ngp, nelY, nelX]``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .quadrature import FEMBasis
+
+__all__ = [
+    "num_elements",
+    "gather_elements",
+    "scatter_elements",
+    "gp_eval",
+    "gp_eval_stacked",
+    "galerkin_project",
+    "gp_coords",
+    "dirichlet_zero_rows",
+]
+
+
+def num_elements(node_shape: Sequence[int], deg: int) -> tuple[int, ...]:
+    """Elements per axis for a node grid (reference DiffNetFEM.py:42-46)."""
+    return tuple((int(n) - 1) // deg for n in node_shape)
+
+
+def _strided_slice(u: jax.Array, nsd: int, offs: tuple[int, ...], deg: int,
+                   nel: tuple[int, ...]) -> jax.Array:
+    """u[..., o_k : o_k + (nel_k-1)*deg + 1 : deg] over the trailing nsd axes."""
+    idx = [slice(None)] * (u.ndim - nsd)
+    for o, ne in zip(offs, nel):
+        idx.append(slice(o, o + (ne - 1) * deg + 1, deg))
+    return u[tuple(idx)]
+
+
+def gather_elements(u: jax.Array, deg: int, nsd: int) -> jax.Array:
+    """Extract per-element nodal patches.
+
+    u: ``[..., (z,) y, x]`` nodal field ->
+    ``[..., (nelZ,) nelY, nelX, nbf_total]`` where the local dof axis is
+    ordered IBF = (kbf*nbf_1d + jbf)*nbf_1d + ibf (i ↔ x fastest).
+
+    Implemented as nbf_total static strided slices + stack: XLA fuses these
+    into cheap HBM reads; no im2col materialization for the common deg=1 case
+    beyond the (nbf_total x) views themselves.
+    """
+    nbf_1d = deg + 1
+    nel = num_elements(u.shape[-nsd:], deg)
+    pieces = []
+    if nsd == 1:
+        for ibf in range(nbf_1d):
+            pieces.append(_strided_slice(u, 1, (ibf,), deg, nel))
+    elif nsd == 2:
+        for jbf in range(nbf_1d):
+            for ibf in range(nbf_1d):
+                pieces.append(_strided_slice(u, 2, (jbf, ibf), deg, nel))
+    else:
+        for kbf in range(nbf_1d):
+            for jbf in range(nbf_1d):
+                for ibf in range(nbf_1d):
+                    pieces.append(_strided_slice(u, 3, (kbf, jbf, ibf), deg, nel))
+    return jnp.stack(pieces, axis=-1)
+
+
+def scatter_elements(r_elem: jax.Array, deg: int, nsd: int,
+                     node_shape: Sequence[int]) -> jax.Array:
+    """Adjoint of :func:`gather_elements`: accumulate per-element, per-local-dof
+    values into the global nodal array (the reference's ``Q1_vector_assembly``,
+    tests/test.py:36-41, generalized to any degree/dimension).
+
+    r_elem: ``[..., (nelZ,) nelY, nelX, nbf_total]`` ->
+    ``[..., node_shape]``.
+    """
+    nbf_1d = deg + 1
+    nel = tuple(r_elem.shape[-1 - nsd:-1])
+    batch = r_elem.shape[: -1 - nsd]
+    out = jnp.zeros(batch + tuple(node_shape), dtype=r_elem.dtype)
+
+    def node_idx(offs):
+        idx = [slice(None)] * len(batch)
+        for o, ne in zip(offs, nel):
+            idx.append(slice(o, o + (ne - 1) * deg + 1, deg))
+        return tuple(idx)
+
+    ibf_lin = 0
+    if nsd == 1:
+        for ibf in range(nbf_1d):
+            out = out.at[node_idx((ibf,))].add(r_elem[..., ibf])
+    elif nsd == 2:
+        for jbf in range(nbf_1d):
+            for ibf in range(nbf_1d):
+                out = out.at[node_idx((jbf, ibf))].add(r_elem[..., ibf_lin])
+                ibf_lin += 1
+    else:
+        for kbf in range(nbf_1d):
+            for jbf in range(nbf_1d):
+                for ibf in range(nbf_1d):
+                    out = out.at[node_idx((kbf, jbf, ibf))].add(r_elem[..., ibf_lin])
+                    ibf_lin += 1
+    return out
+
+
+def gp_eval_stacked(u: jax.Array, basis: FEMBasis,
+                    quantities: Sequence[str]) -> jax.Array:
+    """Evaluate `u` and/or its derivatives at all Gauss points — fused.
+
+    Returns ``[..., nel*, len(quantities), ngp_total]``. Equivalent to the
+    reference's ``gauss_pt_evaluation{_der_x,...}`` family
+    (DiffNetFEM.py:143-174) but with all quantities in ONE contraction.
+    """
+    table = basis.fused_table(tuple(quantities))  # [nq*ngp, nbf]
+    patches = gather_elements(u, basis.deg, basis.nsd)
+    t = jnp.asarray(table, dtype=u.dtype)
+    # HIGHEST precision: the contraction dim is tiny (nbf_total <= 64) so this
+    # op is HBM-bound either way, and PDE residuals need full f32 accuracy
+    # (bf16 MXU passes give ~1e-3 relative error).
+    out = jax.lax.dot_general(
+        patches, t,
+        dimension_numbers=(((patches.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32 if u.dtype != jnp.float64 else None,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(u.dtype)
+    return out.reshape(out.shape[:-1] + (len(quantities), basis.ngp_total))
+
+
+def gp_eval(u: jax.Array, basis: FEMBasis,
+            quantities: Sequence[str] = ("N",)) -> dict[str, jax.Array]:
+    """Dict view of :func:`gp_eval_stacked`: quantity -> ``[..., nel*, ngp]``."""
+    stacked = gp_eval_stacked(u, basis, quantities)
+    return {q: stacked[..., i, :] for i, q in enumerate(quantities)}
+
+
+def galerkin_project(integrand_gp: jax.Array, basis: FEMBasis, quantity: str,
+                     node_shape: Sequence[int],
+                     apply_jxw: bool = True) -> jax.Array:
+    """Project a Gauss-point integrand onto nodal test functions and assemble.
+
+    Computes  R[node] = sum_elem sum_gp  T_q[gp, bf(node)] * integrand * JxW
+    — i.e. the weak-form term  ∫ (d^q N_i) * integrand dx  assembled into the
+    global residual vector. This replaces the reference pattern
+    ``torch.sum(dN_x_values * f_gp * JxW, 2)`` + ``Q1_vector_assembly``
+    (e.g. tests/test.py:62-73).
+
+    integrand_gp: ``[..., nel*, ngp_total]`` -> ``[..., node_shape]``.
+    """
+    table = basis.tables[quantity]  # [ngp, nbf]
+    if apply_jxw:
+        table = table * basis.jxw[:, None]
+    t = jnp.asarray(table, dtype=integrand_gp.dtype)
+    r_elem = jax.lax.dot_general(
+        integrand_gp, t,
+        dimension_numbers=(((integrand_gp.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=(jnp.float32
+                                if integrand_gp.dtype != jnp.float64 else None),
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(integrand_gp.dtype)
+    return scatter_elements(r_elem, basis.deg, basis.nsd, node_shape)
+
+
+def gp_coords(basis: FEMBasis, node_shape: Sequence[int],
+              lengths: Sequence[float] | None = None) -> tuple[np.ndarray, ...]:
+    """Physical coordinates of every Gauss point, as numpy constants.
+
+    Returns per-axis arrays ``(xgp, ygp[, zgp])`` each shaped
+    ``[(nelZ,) nelY, nelX, ngp_total]`` — the channels-last counterpart of the
+    reference's ``self.xgp/self.ygp`` fields (DiffNetFEM.py:234-242). Computed
+    directly from the uniform-grid geometry (no conv needed).
+    """
+    nsd = basis.nsd
+    nel = num_elements(node_shape, basis.deg)
+    if lengths is None:
+        lengths = [basis.h[d] * nel[::-1][d] for d in range(nsd)]
+    # 1D gp offsets within an element, per axis (x first).
+    gp = basis.gp_1d  # [ngp_1d]
+    ngp = basis.ngp_1d
+    axes_1d = []
+    for d in range(nsd):  # d: 0=x, 1=y, 2=z
+        ne = nel[::-1][d]
+        h = basis.h[d]
+        starts = np.arange(ne) * h
+        axes_1d.append(starts[:, None] + (gp[None, :] + 1.0) * 0.5 * h)  # [ne, ngp_1d]
+
+    out = []
+    if nsd == 1:
+        out.append(axes_1d[0])
+    elif nsd == 2:
+        nelY, nelX = nel
+        xg = np.broadcast_to(axes_1d[0][None, :, None, :], (nelY, nelX, ngp, ngp))
+        yg = np.broadcast_to(axes_1d[1][:, None, :, None], (nelY, nelX, ngp, ngp))
+        # IGP = jgp*ngp + igp with igp ↔ x: reshape (jgp, igp) -> last axis
+        out.append(xg.reshape(nelY, nelX, ngp * ngp))
+        out.append(yg.reshape(nelY, nelX, ngp * ngp))
+    else:
+        nelZ, nelY, nelX = nel
+        shp = (nelZ, nelY, nelX, ngp, ngp, ngp)  # (.., kgp, jgp, igp)
+        xg = np.broadcast_to(axes_1d[0][None, None, :, None, None, :], shp)
+        yg = np.broadcast_to(axes_1d[1][None, :, None, None, :, None], shp)
+        zg = np.broadcast_to(axes_1d[2][:, None, None, :, None, None], shp)
+        out.append(xg.reshape(nelZ, nelY, nelX, ngp**3))
+        out.append(yg.reshape(nelZ, nelY, nelX, ngp**3))
+        out.append(zg.reshape(nelZ, nelY, nelX, ngp**3))
+    return tuple(o.astype(np.float64) for o in out)
+
+
+def dirichlet_zero_rows(R: jax.Array, bc_mask: jax.Array) -> jax.Array:
+    """Zero residual entries on Dirichlet nodes (bc_mask > 0.5), matching the
+    reference's post-assembly masking (e.g. examples/poisson/single_instance/
+    e8_2d_poisson_mms.py:139-142)."""
+    return jnp.where(bc_mask > 0.5, jnp.zeros_like(R), R)

@@ -1,0 +1,16 @@
+"""Test configuration: force an 8-device virtual CPU platform so multi-chip
+sharding paths (Mesh/pjit/shard_map) are exercised without TPU hardware
+(SURVEY.md §4 test plan)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (import after env is set)
+
+jax.config.update("jax_enable_x64", False)
