@@ -1,0 +1,83 @@
+"""Host-side dataset/loader utilities (replaces torch Dataset/DataLoader).
+
+Datasets are plain-python objects with ``__len__`` and ``__getitem__``
+returning ``(inputs, forcing)`` numpy arrays, channels-LAST
+(``[H, W, C]`` / ``[D, H, W, C]``) — the TPU-native layout, vs the
+reference's ``[C, H, W]`` torch convention
+(reference: DiffNet/datasets/single_instances/rectangles.py:27-31).
+
+`NumpyLoader` batches on host and (optionally) places batches with a
+`jax.sharding.Sharding` so multi-chip data parallelism happens at transfer
+time (the pjit-native version of Lightning DDP's per-process loaders,
+IBN/poisson-3d/parametric/IBN_3D.py:193-199).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import jax
+import numpy as np
+
+__all__ = ["NumpyLoader", "InMemoryDataset"]
+
+
+class InMemoryDataset:
+    """Wrap pre-built arrays as a dataset: (inputs[N,...], forcing[N,...])."""
+
+    def __init__(self, inputs: np.ndarray, forcing: np.ndarray):
+        assert len(inputs) == len(forcing)
+        self.inputs = inputs
+        self.forcing = forcing
+
+    def __len__(self):
+        return len(self.inputs)
+
+    def __getitem__(self, idx):
+        return self.inputs[idx], self.forcing[idx]
+
+
+class NumpyLoader:
+    """Minimal batching iterator.
+
+    Parameters
+    ----------
+    dataset : object with __len__/__getitem__ -> tuple of numpy arrays
+    batch_size : int
+    shuffle : reshuffle each epoch
+    drop_last : drop trailing partial batch (default True: static shapes keep
+        XLA from recompiling)
+    sharding : optional jax.sharding.Sharding applied via jax.device_put
+    seed : shuffle seed
+    """
+
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
+                 drop_last: bool = True, sharding=None, seed: int = 42):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.sharding = sharding
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        nb = len(self)
+        for b in range(nb):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            samples = [self.dataset[int(i)] for i in idx]
+            batch = tuple(
+                np.stack([s[k] for s in samples]) for k in range(len(samples[0]))
+            )
+            if self.sharding is not None:
+                batch = jax.device_put(batch, self.sharding)
+            yield batch

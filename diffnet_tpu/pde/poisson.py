@@ -1,0 +1,202 @@
+"""Poisson / diffusion PDE formulations.
+
+Covers the reference's Poisson capability surface (SURVEY.md §2.4):
+  * energy minimization (Ritz)            — examples/poisson/single_instance/0_base.py:31-56,
+                                            parametric IBN variant e1_complex_immersed_background.py:33-58
+  * Galerkin residual minimization        — examples/poisson/single_instance/e8_2d_poisson_mms.py:92-150,
+    (with optional left preconditioner)     tests/test.py:36-79, tests/test3D.py:36-85
+  * strong-form collocation (deg>=2)      — 10_manufactured_strong_form_higher_order.py:70-97
+  * FDM strong form                       — 12_fdm_mms.py:76-118
+all in 2D and 3D, batched, channels-last.
+
+Every loss takes ``(u, inputs, forcing)`` where inputs stacks channels-last
+masks ``[..., (nu, bc1, bc2, ...)]``; semantics of bc channels match the
+reference datasets (bc1 = source/Dirichlet-1, bc2 = sink/Dirichlet-0 unless a
+``dirichlet`` spec overrides).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import FDMModule, FEM2DModule, FEM3DModule
+
+__all__ = [
+    "poisson_energy_loss",
+    "poisson_resmin_residual",
+    "poisson_strong_form_loss",
+    "Poisson2D",
+    "Poisson3D",
+    "PoissonFDM2D",
+]
+
+
+def _squeeze_field(u):
+    """Accept [B, ..., 1] network outputs and [B, ...] direct fields."""
+    if u.shape[-1] == 1 and u.ndim >= 3:
+        return u[..., 0]
+    return u
+
+
+def poisson_energy_loss(module, u, nu, f, jxw):
+    """Ritz energy: sum_gp gpw*J*(0.5 nu |grad u|^2 - u f), per element, then
+    mean over elements+batch (reference 0_base.py:45-56)."""
+    gp = module.gp_all(u, ("N", "dx", "dy") + (("dz",) if module.nsd == 3 else ()))
+    nu_gp = module.gauss_pt_evaluation(nu)
+    f_gp = module.gauss_pt_evaluation(f)
+    grad2 = gp["dx"] ** 2 + gp["dy"] ** 2
+    if module.nsd == 3:
+        grad2 = grad2 + gp["dz"] ** 2
+    res = jxw * (0.5 * nu_gp * grad2 - gp["N"] * f_gp)
+    return jnp.mean(jnp.sum(res, axis=-1))
+
+
+def poisson_resmin_residual(module, u, nu_gp, f_gp, bc_mask):
+    """Assembled Galerkin residual  R_i = ∫ nu ∇N_i·∇u - ∫ N_i f  with
+    Dirichlet rows zeroed (reference e8_2d_poisson_mms.py:122-141)."""
+    quants = ("dx", "dy") + (("dz",) if module.nsd == 3 else ())
+    gp = module.gp_all(u, quants)
+    R = module.assemble(nu_gp * gp["dx"], "dx") + module.assemble(
+        nu_gp * gp["dy"], "dy")
+    if module.nsd == 3:
+        R = R + module.assemble(nu_gp * gp["dz"], "dz")
+    R = R - module.assemble(f_gp, "N")
+    return jnp.where(bc_mask > 0.5, jnp.zeros_like(R), R)
+
+
+def poisson_strong_form_loss(module, u, nu_gp, f_gp, jxw):
+    """Collocation on the strong form via FEM 2nd derivatives (needs deg>=2):
+    mean_elem sum_gp gpw * ((lap u) + f)^2 (reference
+    10_manufactured_strong_form_higher_order.py:84-97; nu multiplies the
+    laplacian when non-unit)."""
+    quants = ("d2x", "d2y") + (("d2z",) if module.nsd == 3 else ())
+    gp = module.gp_all(u, quants)
+    lap = gp["d2x"] + gp["d2y"]
+    if module.nsd == 3:
+        lap = lap + gp["d2z"]
+    res = jxw * (nu_gp * lap + f_gp) ** 2
+    return jnp.mean(jnp.sum(res, axis=-1))
+
+
+class _PoissonCommon:
+    """Shared loss dispatch for 2D/3D Poisson modules."""
+
+    def _setup_poisson(self, **kwargs):
+        self.loss_type = kwargs.get("loss_type", "energy")
+        self.bc1_value = kwargs.get("bc1_value", 1.0)
+        self.bc2_value = kwargs.get("bc2_value", 0.0)
+        # Optional Dirichlet field for MMS resmin: u on bc2 nodes taken from
+        # this array instead of bc2_value (reference e8: u_bc = u_exact)
+        self.u_bc = kwargs.get("u_bc", None)
+        # Optional dense left preconditioner [N, N] applied to vec(R)
+        # (reference ILU factor, e8_2d_poisson_mms.py:67-68,143-149)
+        self.precond = kwargs.get("precond", None)
+        # reference energy losses use gpw-only weighting (no Jacobian) in the
+        # parametric IBN examples, and (0.5 h)^2*gpw in 0_base. Controlled by:
+        self.energy_weighting = kwargs.get("energy_weighting", "jxw")  # or "gpw"
+
+    def _weights(self, dtype):
+        if self.energy_weighting == "gpw":
+            return jnp.asarray(self.gpw, dtype)
+        return jnp.asarray(self.jxw, dtype)
+
+    def loss(self, u, inputs_tensor, forcing_tensor):
+        u = _squeeze_field(u)
+        nu = inputs_tensor[..., 0]
+        bc1 = inputs_tensor[..., 1]
+        bc2 = inputs_tensor[..., 2]
+        f = _squeeze_field(forcing_tensor)
+
+        if self.u_bc is not None:
+            u_bc = jnp.asarray(self.u_bc, u.dtype)
+            u = jnp.where(bc2 > 0.5, jnp.broadcast_to(u_bc, u.shape), u)
+        else:
+            u = self.apply_dirichlet(u, bc1, self.bc1_value)
+            u = self.apply_dirichlet(u, bc2, self.bc2_value)
+
+        w = self._weights(u.dtype)
+        if self.loss_type == "energy":
+            return poisson_energy_loss(self, u, nu, f, w)
+
+        nu_gp = self.gauss_pt_evaluation(nu)
+        if getattr(self, "f_gp", None) is not None:
+            f_gp = jnp.asarray(self.f_gp, u.dtype)
+        else:
+            f_gp = self.gauss_pt_evaluation(f)
+
+        if self.loss_type == "resmin":
+            R = poisson_resmin_residual(self, u, nu_gp, f_gp, bc2)
+            if self.precond is not None:
+                P = jnp.asarray(self.precond, u.dtype)
+                Rv = R.reshape(R.shape[0], -1)
+                R = Rv @ P.T
+            return jnp.sum(R**2)
+        if self.loss_type == "strong":
+            return poisson_strong_form_loss(self, u, nu_gp, f_gp, w)
+        raise ValueError(f"unknown loss_type {self.loss_type!r}")
+
+
+class Poisson2D(_PoissonCommon, FEM2DModule):
+    """2D Poisson with energy/resmin/strong loss (see module docstring).
+
+    MMS convenience: pass ``exact_solution(x, y)`` and ``forcing(x, y)``
+    callables to precompute ``f_gp`` and Dirichlet data at Gauss points
+    (reference e8_2d_poisson_mms.py:46-49)."""
+
+    def __init__(self, network=None, dataset=None, **kwargs):
+        super().__init__(network, dataset, **kwargs)
+        self._setup_poisson(**kwargs)
+        self.exact_solution = kwargs.get("exact_solution", None)
+        forcing = kwargs.get("forcing", None)
+        self.f_gp = None
+        if forcing is not None:
+            self.f_gp = np.asarray(forcing(self.xgp, self.ygp), np.float32)
+        if kwargs.get("mms_dirichlet", False) and self.exact_solution:
+            self.u_bc = np.asarray(
+                self.exact_solution(self.xx, self.yy), np.float32)
+
+
+class Poisson3D(_PoissonCommon, FEM3DModule):
+    """3D Poisson (reference tests/test3D.py, 9_voxel_3d.py, IBN_3D.py)."""
+
+    def __init__(self, network=None, dataset=None, **kwargs):
+        super().__init__(network, dataset, **kwargs)
+        self._setup_poisson(**kwargs)
+        self.exact_solution = kwargs.get("exact_solution", None)
+        forcing = kwargs.get("forcing", None)
+        self.f_gp = None
+        if forcing is not None:
+            self.f_gp = np.asarray(
+                forcing(self.xgp, self.ygp, self.zgp), np.float32)
+        if kwargs.get("mms_dirichlet", False) and self.exact_solution:
+            self.u_bc = np.asarray(
+                self.exact_solution(self.xx, self.yy, self.zz), np.float32)
+
+
+class PoissonFDM2D(FDMModule):
+    """FDM strong-form Poisson: res = f + ∇u·∇nu + nu Δu on the interior,
+    loss = per-sample 2-norm (reference 12_fdm_mms.py:76-118)."""
+
+    def __init__(self, network=None, dataset=None, **kwargs):
+        super().__init__(network, dataset, **kwargs)
+
+    def loss(self, u, inputs_tensor, forcing_tensor):
+        u = _squeeze_field(u)
+        nu = inputs_tensor[..., 0]
+        bc2 = inputs_tensor[..., 2]
+        f = _squeeze_field(forcing_tensor)
+        u = self.apply_dirichlet(u, bc2, 0.0)
+
+        ux = self.fdm.dx(u)
+        uy = self.fdm.dy(u)
+        lap = self.fdm.dxx(u) + self.fdm.dyy(u)
+        nux = self.fdm.dx(nu)
+        nuy = self.fdm.dy(nu)
+        # 3-pt d1 and d2 interiors differ by one ring; crop d1 outputs is not
+        # needed (both shrink by 1 per side for 3-pt stencils)
+        res = (f[..., 1:-1, 1:-1] + ux * nux + uy * nuy
+               + nu[..., 1:-1, 1:-1] * lap)
+        return jnp.linalg.norm(res.reshape(res.shape[0], -1), axis=1)

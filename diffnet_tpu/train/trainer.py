@@ -1,0 +1,268 @@
+"""Explicit JAX training loop — replaces PyTorch-Lightning's Trainer.
+
+The reference delegates its loop to Lightning (``Trainer.fit``; reference
+DiffNet/base.py:42-55 and every example ``main()``). Here the loop is owned by
+the framework: one jitted ``step(state, batch)`` containing forward, loss,
+backward and the optimizer update (and, for LBFGS, the full inner iteration
+loop as a ``lax.scan``), so a whole optimization step is a single XLA program.
+
+Feature parity with the reference's Lightning usage:
+  * optimizers: adam / sgd / lbfgs(max_iter) / any optax transform
+    (reference configure_optimizers switches, e8_2d_poisson_mms.py:223-235)
+  * versioned run dirs ``name/version_N`` + CSV metrics (reference dual
+    TensorBoardLogger+CSVLogger convention, 0_base.py:102-103 — the version
+    dirs are load-bearing for query tooling, run-query.sh:20)
+  * checkpointing (best/last) via flax serialization (reference
+    ModelCheckpoint + torch.save(network), 0_base.py:107-124)
+  * callbacks with on_train_start/on_epoch_end/on_train_end hooks
+  * early stopping on a monitored metric
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Any, Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from ..data.loader import NumpyLoader
+
+__all__ = ["TrainState", "Trainer", "Callback", "CSVLogger", "make_run_dir",
+           "EarlyStopping", "save_params", "load_params"]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_run_dir(save_dir: str, name: str) -> str:
+    """Create `save_dir/name/version_N` with the next free N (reference
+    TensorBoardLogger convention)."""
+    base = os.path.join(save_dir, name)
+    os.makedirs(base, exist_ok=True)
+    n = 0
+    while os.path.exists(os.path.join(base, f"version_{n}")):
+        n += 1
+    run = os.path.join(base, f"version_{n}")
+    os.makedirs(run)
+    return run
+
+
+def save_params(params, path: str):
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_params(template, path: str):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+class Callback:
+    def on_train_start(self, trainer, module, state):  # noqa: D102
+        pass
+
+    def on_epoch_end(self, trainer, module, state, epoch: int,
+                     metrics: dict):  # noqa: D102
+        pass
+
+    def on_train_end(self, trainer, module, state):  # noqa: D102
+        pass
+
+
+class EarlyStopping(Callback):
+    """Stop when `monitor` hasn't improved by `min_delta` for `patience`
+    epochs (reference EarlyStopping usage, 0_base.py:105-106 — with the
+    mode='max'-on-loss misconfiguration fixed to 'min')."""
+
+    def __init__(self, monitor="loss", min_delta=1e-8, patience=10, mode="min"):
+        self.monitor = monitor
+        self.min_delta = min_delta
+        self.patience = patience
+        self.sign = 1.0 if mode == "min" else -1.0
+        self.best = np.inf
+        self.bad_epochs = 0
+
+    def on_epoch_end(self, trainer, module, state, epoch, metrics):
+        val = self.sign * metrics.get(self.monitor, np.inf)
+        if val < self.best - self.min_delta:
+            self.best = val
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs >= self.patience:
+                trainer.should_stop = True
+
+
+class CSVLogger:
+    def __init__(self, run_dir: str, filename: str = "metrics.csv"):
+        self.path = os.path.join(run_dir, filename)
+        self._fieldnames: list[str] | None = None
+
+    def log(self, metrics: dict):
+        new_file = self._fieldnames is None
+        if new_file:
+            self._fieldnames = list(metrics.keys())
+        with open(self.path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fieldnames, extrasaction="ignore")
+            if new_file:
+                w.writeheader()
+            w.writerow(metrics)
+
+
+def _make_optimizer(name_or_opt, learning_rate, lbfgs_max_iter):
+    if isinstance(name_or_opt, optax.GradientTransformation) or (
+        hasattr(name_or_opt, "init") and hasattr(name_or_opt, "update")
+    ):
+        return name_or_opt, False
+    name = str(name_or_opt).lower()
+    if name == "adam":
+        return optax.adam(learning_rate), False
+    if name == "sgd":
+        return optax.sgd(learning_rate), False
+    if name == "lbfgs":
+        # zoom linesearch, lr=1.0 — the optax analogue of
+        # torch.optim.LBFGS(lr=1.0, max_iter=k) closures
+        # (reference e2_manufactured_resmin.py:138)
+        return optax.lbfgs(), True
+    raise ValueError(f"unknown optimizer {name_or_opt!r}")
+
+
+class Trainer:
+    """Explicit training loop.
+
+    Parameters
+    ----------
+    max_epochs : int
+    optimizer : 'adam' | 'sgd' | 'lbfgs' | optax transform
+    learning_rate : used for adam/sgd when module doesn't specify
+    lbfgs_max_iter : inner iterations per step for lbfgs (reference max_iter)
+    callbacks, run_dir, log_every : observability
+    checkpoint : save params to run_dir ('best'+'last') when True
+    fast_dev_run : run a single batch/epoch smoke pass (reference flag,
+        IBN_2D.py:205)
+    """
+
+    def __init__(self, max_epochs: int = 1, optimizer: Any = "adam",
+                 learning_rate: float | None = None, lbfgs_max_iter: int = 5,
+                 callbacks: Sequence[Callback] = (), run_dir: str | None = None,
+                 log_every: int = 1, checkpoint: bool = False,
+                 fast_dev_run: bool = False, seed: int = 42):
+        self.max_epochs = 1 if fast_dev_run else max_epochs
+        self.optimizer_spec = optimizer
+        self.learning_rate = learning_rate
+        self.lbfgs_max_iter = lbfgs_max_iter
+        self.callbacks = list(callbacks)
+        self.run_dir = run_dir
+        self.logger = CSVLogger(run_dir) if run_dir else None
+        self.log_every = log_every
+        self.checkpoint = checkpoint and run_dir is not None
+        self.fast_dev_run = fast_dev_run
+        self.seed = seed
+        self.should_stop = False
+        self.state: TrainState | None = None
+        self.epoch_times: list[float] = []
+
+    # -- core step builders ---------------------------------------------
+    def _build_step(self, module, opt, is_lbfgs: bool):
+        loss_fn = module.training_loss
+
+        if not is_lbfgs:
+            def step(state: TrainState, batch):
+                loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+                updates, opt_state = opt.update(grads, state.opt_state,
+                                                state.params)
+                params = optax.apply_updates(state.params, updates)
+                return TrainState(params, opt_state, state.step + 1), loss
+            return jax.jit(step)
+
+        max_iter = self.lbfgs_max_iter
+
+        def step(state: TrainState, batch):
+            def f(p):
+                return loss_fn(p, batch)
+
+            vg = optax.value_and_grad_from_state(f)
+
+            def inner(carry, _):
+                params, opt_state = carry
+                value, grads = vg(params, state=opt_state)
+                updates, opt_state = opt.update(
+                    grads, opt_state, params, value=value, grad=grads,
+                    value_fn=f)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), value
+
+            (params, opt_state), values = jax.lax.scan(
+                inner, (state.params, state.opt_state), None, length=max_iter)
+            return TrainState(params, opt_state, state.step + 1), values[-1]
+
+        return jax.jit(step)
+
+    # -- fit --------------------------------------------------------------
+    def fit(self, module, dataloader=None, params=None):
+        """Train `module`. If `dataloader` is None, build one from
+        `module.dataset` (supports both reference API generations,
+        SURVEY.md §1)."""
+        if dataloader is None:
+            if module.dataset is None:
+                raise ValueError("no dataloader given and module.dataset is None")
+            dataloader = NumpyLoader(module.dataset,
+                                     batch_size=module.batch_size,
+                                     shuffle=True, seed=self.seed)
+
+        lr = self.learning_rate or getattr(module, "learning_rate", 3e-4)
+        opt, is_lbfgs = _make_optimizer(self.optimizer_spec, lr,
+                                        self.lbfgs_max_iter)
+
+        first_batch = next(iter(dataloader))
+        first_batch = jax.tree.map(jnp.asarray, first_batch)
+        if params is None:
+            params = module.init_params(jax.random.key(self.seed), first_batch)
+        state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+
+        step_fn = self._build_step(module, opt, is_lbfgs)
+
+        for cb in self.callbacks:
+            cb.on_train_start(self, module, state)
+
+        best = np.inf
+        for epoch in range(self.max_epochs):
+            t0 = time.perf_counter()
+            losses = []
+            for batch in dataloader:
+                batch = jax.tree.map(jnp.asarray, batch)
+                state, loss = step_fn(state, batch)
+                losses.append(loss)
+                if self.fast_dev_run:
+                    break
+            epoch_loss = float(jnp.mean(jnp.stack(losses)))
+            dt = time.perf_counter() - t0
+            self.epoch_times.append(dt)
+            metrics = {"epoch": epoch, "loss": epoch_loss, "PDE_loss": epoch_loss,
+                       "time_sec": dt}
+            if self.logger and epoch % self.log_every == 0:
+                self.logger.log(metrics)
+            if self.checkpoint:
+                save_params(state.params, os.path.join(self.run_dir, "last.ckpt"))
+                if epoch_loss < best:
+                    best = epoch_loss
+                    save_params(state.params, os.path.join(self.run_dir, "best.ckpt"))
+            self.state = state
+            for cb in self.callbacks:
+                cb.on_epoch_end(self, module, state, epoch, metrics)
+            if self.should_stop:
+                break
+
+        for cb in self.callbacks:
+            cb.on_train_end(self, module, state)
+        self.state = state
+        return state

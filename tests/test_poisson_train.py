@@ -1,0 +1,154 @@
+"""End-to-end training tests: direct-field Poisson MMS solves through the
+Trainer (the reference e2_manufactured_resmin / e8_2d_poisson_mms workflow)
+and the energy/parametric path with a network."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffnet_tpu.data.loader import NumpyLoader
+from diffnet_tpu.data.single_instances import RectangleManufactured
+from diffnet_tpu.models.field import DirectField
+from diffnet_tpu.pde.poisson import Poisson2D, PoissonFDM2D
+from diffnet_tpu.train.trainer import Trainer
+
+
+def _mms():
+    exact = lambda x, y: np.sin(math.pi * x) * np.sin(math.pi * y)
+    forcing = lambda x, y: 2 * math.pi**2 * np.sin(math.pi * x) * np.sin(
+        math.pi * y)
+    return exact, forcing
+
+
+def test_resmin_lbfgs_direct_field():
+    """LBFGS on the assembled residual drives L2 error to O(h^2)
+    (reference e8_2d_poisson_mms 'resmin'+'lbfgs' config)."""
+    n = 32
+    exact, forcing = _mms()
+    dataset = RectangleManufactured(domain_size=n)
+    dataset.n_samples = 1
+    net = DirectField((n, n), init=np.zeros((n, n)))
+    module = Poisson2D(net, dataset, domain_size=n, batch_size=1,
+                       loss_type="resmin", exact_solution=exact,
+                       forcing=forcing, mms_dirichlet=True)
+    trainer = Trainer(max_epochs=60, optimizer="lbfgs", lbfgs_max_iter=10)
+    state = trainer.fit(module)
+    u = module.network.apply(state.params)[0]
+    eL2, _, u_exL2 = module.calc_l2_err(u)
+    rel = float(eL2 / u_exL2)
+    assert rel < 5e-3, f"relative L2 error {rel}"
+
+
+def test_resmin_adam_direct_field():
+    """Adam makes steady progress on the resmin objective. (Full convergence
+    under first-order methods takes 1e4+ steps on this cond(K)^2 quadratic —
+    the reference's direct solves use LBFGS for the same reason,
+    e2_manufactured_resmin.py:138.)"""
+    n = 32
+    exact, forcing = _mms()
+    dataset = RectangleManufactured(domain_size=n)
+    dataset.n_samples = 1
+    net = DirectField((n, n), init=np.zeros((n, n)))
+    module = Poisson2D(net, dataset, domain_size=n, batch_size=1,
+                       loss_type="resmin", exact_solution=exact,
+                       forcing=forcing, mms_dirichlet=True)
+    batch = (jnp.asarray(dataset[0][0])[None], jnp.asarray(dataset[0][1])[None])
+    params0 = net.init(None)
+    loss0 = float(module.training_loss(params0, batch))
+    trainer = Trainer(max_epochs=2000, optimizer="adam", learning_rate=2e-2)
+    state = trainer.fit(module)
+    loss1 = float(module.training_loss(state.params, batch))
+    assert loss1 < loss0 / 3, (loss0, loss1)
+    u = module.network.apply(state.params)[0]
+    eL2, _, u_exL2 = module.calc_l2_err(u)
+    assert float(eL2 / u_exL2) < 0.3
+
+
+def test_energy_loss_decreases():
+    """Energy minimization decreases monotonically-ish and yields a field
+    close to the solution shape (reference 0_base.py path)."""
+    n = 32
+    exact, forcing = _mms()
+    dataset = RectangleManufactured(domain_size=n)
+    dataset.n_samples = 1
+    net = DirectField((n, n), init=np.zeros((n, n)))
+    module = Poisson2D(net, dataset, domain_size=n, batch_size=1,
+                       loss_type="energy", exact_solution=exact,
+                       forcing=forcing, mms_dirichlet=True)
+    trainer = Trainer(max_epochs=100, optimizer="lbfgs", lbfgs_max_iter=10)
+    state = trainer.fit(module)
+    u = module.network.apply(state.params)[0]
+    eL2, _, u_exL2 = module.calc_l2_err(u)
+    assert float(eL2 / u_exL2) < 2e-2
+
+
+def test_strong_form_deg2():
+    """Strong-form collocation with deg-2 basis (reference
+    10_manufactured_strong_form_higher_order.py).
+
+    Note: with a *direct nodal field*, the GP-collocated Laplacian has null
+    modes (C0-quadratic second derivatives are blind to certain nodal
+    oscillations), so the L2 error is not driven to zero — the reference
+    regularizes this implicitly by parameterizing u with a smooth network.
+    The formulation test therefore checks that training reaches the
+    attainable minimum: the loss of the exact solution itself."""
+    n = 33
+    exact, forcing = _mms()
+    dataset = RectangleManufactured(domain_size=n)
+    dataset.n_samples = 1
+    net = DirectField((n, n), init=np.zeros((n, n)))
+    module = Poisson2D(net, dataset, domain_size=n, batch_size=1,
+                       fem_basis_deg=2, loss_type="strong",
+                       exact_solution=exact, forcing=forcing,
+                       mms_dirichlet=True)
+    batch = (jnp.asarray(dataset[0][0])[None], jnp.asarray(dataset[0][1])[None])
+    x = np.linspace(0, 1, n)
+    xx, yy = np.meshgrid(x, x)
+    p_exact = {"field": jnp.asarray(exact(xx, yy), jnp.float32)}
+    loss_exact = float(module.training_loss(p_exact, batch))
+    trainer = Trainer(max_epochs=30, optimizer="lbfgs", lbfgs_max_iter=10)
+    state = trainer.fit(module)
+    loss_final = float(module.training_loss(state.params, batch))
+    assert loss_final < 2 * loss_exact + 1e-5, (loss_final, loss_exact)
+
+
+def test_fdm_strong_form():
+    """FDM residual loss trains to a reasonable solution (reference
+    12_fdm_mms.py)."""
+    n = 32
+    exact, forcing = _mms()
+    dataset = RectangleManufactured(domain_size=n)
+    dataset.n_samples = 1
+    net = DirectField((n, n), init=np.zeros((n, n)))
+    module = PoissonFDM2D(net, dataset, domain_size=n, batch_size=1)
+    trainer = Trainer(max_epochs=150, optimizer="lbfgs", lbfgs_max_iter=10)
+    state = trainer.fit(module)
+    u = np.asarray(module.network.apply(state.params)[0])
+    x = np.linspace(0, 1, n)
+    xx, yy = np.meshgrid(x, x)
+    err = np.abs(u - exact(xx, yy))[1:-1, 1:-1].max()
+    assert err < 0.05, f"max interior error {err}"
+
+
+def test_trainer_run_dir_and_csv(tmp_path):
+    n = 16
+    exact, forcing = _mms()
+    dataset = RectangleManufactured(domain_size=n)
+    dataset.n_samples = 2
+    net = DirectField((n, n), init=np.zeros((n, n)))
+    module = Poisson2D(net, dataset, domain_size=n, batch_size=1,
+                       loss_type="resmin", exact_solution=exact,
+                       forcing=forcing, mms_dirichlet=True)
+    from diffnet_tpu.train.trainer import make_run_dir
+    run_dir = make_run_dir(str(tmp_path), "poisson")
+    assert run_dir.endswith("version_0")
+    trainer = Trainer(max_epochs=3, optimizer="adam", run_dir=run_dir,
+                      checkpoint=True)
+    trainer.fit(module)
+    import os
+    assert os.path.exists(os.path.join(run_dir, "metrics.csv"))
+    assert os.path.exists(os.path.join(run_dir, "last.ckpt"))
+    run_dir2 = make_run_dir(str(tmp_path), "poisson")
+    assert run_dir2.endswith("version_1")
