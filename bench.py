@@ -1,0 +1,105 @@
+"""Benchmark: element-residual evals/sec at 512^2 Poisson (BASELINE.json
+north-star metric).
+
+Times the full assembled Galerkin residual of the Poisson weak form
+(eval u_x,u_y,nu at all Gauss points -> physics -> Galerkin projection ->
+scatter assembly -> Dirichlet masking) on a 512^2 node grid, batched.
+
+``vs_baseline`` is the speedup of the fused gather+matmul engine over a
+faithful same-hardware port of the reference *algorithm* (one separate
+XLA convolution per Gauss point per quantity re-reading u each time —
+DiffNet/DiffNetFEM.py:7-18): the reference publishes no numbers
+(BASELINE.md), so the comparison is algorithm-vs-algorithm on this chip.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _timeit(fn, *args, iters=30, warmup=5):
+    import jax
+
+    for _ in range(warmup):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from diffnet_tpu.core import fem
+    from diffnet_tpu.core.quadrature import make_basis
+
+    n = 512
+    bs = 8
+    h = 1.0 / (n - 1)
+    basis = make_basis(2, 1, h=(h, h))
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
+    nu = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
+    f_gp = jnp.asarray(rng.random((bs, n - 1, n - 1, 4)), jnp.float32)
+    bc = jnp.zeros((n, n)).at[0, :].set(1.0).at[-1, :].set(1.0)
+
+    @jax.jit
+    def residual_fused(u, nu, f_gp):
+        gp = fem.gp_eval(u, basis, ("dx", "dy"))
+        nu_gp = fem.gp_eval(nu, basis, ("N",))["N"]
+        R = (fem.galerkin_project(nu_gp * gp["dx"], basis, "dx", (n, n))
+             + fem.galerkin_project(nu_gp * gp["dy"], basis, "dy", (n, n))
+             - fem.galerkin_project(f_gp, basis, "N", (n, n)))
+        return jnp.where(bc > 0.5, 0.0, R)
+
+    # reference-algorithm port: one conv per gauss point per quantity
+    # (12 convs for dx/dy/N here), then the same projection/assembly
+    tabs = {q: np.asarray(basis.tables[q], np.float32) for q in ("N", "dx", "dy")}
+
+    def conv_gp(x, table):
+        # table [ngp, nbf_tot] -> ngp separate 2x2 convs, like the reference's
+        # gauss_pt_eval loop (DiffNetFEM.py:7-18)
+        outs = []
+        x4 = x[:, None, :, :]  # NCHW
+        for g in range(table.shape[0]):
+            k = jnp.asarray(table[g].reshape(1, 1, 2, 2))
+            outs.append(jax.lax.conv_general_dilated(
+                x4, k, window_strides=(1, 1), padding="VALID"))
+        return jnp.concatenate(outs, 1)  # [B, ngp, nelY, nelX]
+
+    @jax.jit
+    def residual_reference_style(u, nu, f_gp):
+        u_x = conv_gp(u, tabs["dx"])
+        u_y = conv_gp(u, tabs["dy"])
+        nu_g = conv_gp(nu, tabs["N"])
+        gp_x = jnp.moveaxis(u_x, 1, -1)
+        gp_y = jnp.moveaxis(u_y, 1, -1)
+        nu_gp = jnp.moveaxis(nu_g, 1, -1)
+        R = (fem.galerkin_project(nu_gp * gp_x, basis, "dx", (n, n))
+             + fem.galerkin_project(nu_gp * gp_y, basis, "dy", (n, n))
+             - fem.galerkin_project(f_gp, basis, "N", (n, n)))
+        return jnp.where(bc > 0.5, 0.0, R)
+
+    t_fused = _timeit(residual_fused, u, nu, f_gp)
+    t_ref = _timeit(residual_reference_style, u, nu, f_gp)
+
+    elems = bs * (n - 1) * (n - 1)
+    evals_per_sec = elems / t_fused
+    result = {
+        "metric": "element_residual_evals_per_sec_512sq_poisson",
+        "value": float(f"{evals_per_sec:.4g}"),
+        "unit": "elem/s",
+        "vs_baseline": float(f"{t_ref / t_fused:.4g}"),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

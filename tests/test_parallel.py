@@ -1,0 +1,103 @@
+"""Multi-device tests on the virtual 8-CPU mesh: data-parallel equivalence,
+spatial sharding through the FEM ops, halo exchange."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from diffnet_tpu.core import fem
+from diffnet_tpu.core.quadrature import make_basis
+from diffnet_tpu.parallel.mesh import (
+    data_sharding,
+    halo_exchange_y,
+    make_mesh,
+    shard_batch,
+    spatial_sharding,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _residual_fn(basis, n, bc):
+    def f(u, nu):
+        gp = fem.gp_eval(u, basis, ("dx", "dy"))
+        nu_gp = fem.gp_eval(nu, basis, ("N",))["N"]
+        R = (fem.galerkin_project(nu_gp * gp["dx"], basis, "dx", (n, n))
+             + fem.galerkin_project(nu_gp * gp["dy"], basis, "dy", (n, n)))
+        return jnp.where(bc > 0.5, 0.0, R)
+    return f
+
+
+def test_data_parallel_matches_single_device():
+    n = 33
+    mesh = make_mesh(data=8, space=1)
+    basis = make_basis(2, 1, h=(1 / (n - 1),) * 2)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random((8, n, n)), jnp.float32)
+    nu = jnp.asarray(rng.random((8, n, n)), jnp.float32)
+    bc = jnp.zeros((n, n)).at[0].set(1.0)
+    f = _residual_fn(basis, n, bc)
+    R_single = jax.jit(f)(u, nu)
+    u_s = jax.device_put(u, data_sharding(mesh, 3))
+    nu_s = jax.device_put(nu, data_sharding(mesh, 3))
+    R_sharded = jax.jit(f)(u_s, nu_s)
+    np.testing.assert_allclose(np.asarray(R_single), np.asarray(R_sharded),
+                               atol=1e-6)
+
+
+def test_spatial_sharding_matches_single_device():
+    """GSPMD inserts the halo exchanges for the strided-slice gather — the
+    spatially sharded residual must equal the unsharded one exactly."""
+    n = 64
+    mesh = make_mesh(data=2, space=4)
+    basis = make_basis(2, 1, h=(1 / (n - 1),) * 2)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.random((2, n, n)), jnp.float32)
+    nu = jnp.ones((2, n, n), jnp.float32)
+    bc = jnp.zeros((n, n))
+    f = _residual_fn(basis, n, bc)
+    R_single = jax.jit(f)(u, nu)
+    sh = spatial_sharding(mesh, 3, y_axis=1)
+    R_sharded = jax.jit(f)(jax.device_put(u, sh), jax.device_put(nu, sh))
+    np.testing.assert_allclose(np.asarray(R_single), np.asarray(R_sharded),
+                               atol=1e-5)
+
+
+def test_halo_exchange_y():
+    mesh = make_mesh(data=1, space=8)
+    ny = 32
+    x = jnp.arange(ny * 4, dtype=jnp.float32).reshape(ny, 4)
+
+    def local(xl):
+        return halo_exchange_y(xl, "space", halo=1)
+
+    f = shard_map(local, mesh=mesh, in_specs=P("space", None),
+                  out_specs=P("space", None))
+    out = np.asarray(f(x))
+    # each local block is 4 rows -> padded to 6; check a middle shard's halos
+    blocks = out.reshape(8, 6, 4)
+    xs = np.asarray(x).reshape(8, 4, 4)
+    for s in range(1, 7):
+        np.testing.assert_array_equal(blocks[s, 0], xs[s - 1, -1])  # prev bottom
+        np.testing.assert_array_equal(blocks[s, -1], xs[s + 1, 0])  # next top
+        np.testing.assert_array_equal(blocks[s, 1:-1], xs[s])
+    # boundary shards zero-padded outside
+    np.testing.assert_array_equal(blocks[0, 0], 0)
+    np.testing.assert_array_equal(blocks[7, -1], 0)
+
+
+def test_shard_batch_utility():
+    mesh = make_mesh(data=8)
+    batch = (np.ones((16, 8, 8, 3), np.float32), np.ones((16, 8, 8, 1),
+                                                         np.float32))
+    sharded = shard_batch(batch, mesh)
+    assert sharded[0].sharding.spec == P("data", None, None, None)
+
+
+def test_graft_dryrun():
+    from __graft_entry__ import dryrun_multichip
+    dryrun_multichip(8)
