@@ -1,0 +1,70 @@
+"""Advection-diffusion with SUPG stabilization.
+
+Reference: examples/poisson/single_instance/e17_adv_diff_2d_resmin.py:40-170.
+Weak form with streamline-upwind test functions  v + tau a·grad(v):
+
+  R_i = ∫ N_i (a·grad u) + nu ∫ grad(N_i)·grad(u)
+        + tau ∫ (a·grad N_i)(a·grad u)  -  ∫ (N_i + tau a·grad N_i) f
+
+with tau = 1 / (2|a|/h + 4 nu / h^2) (e17:58). The reference's hardcoded 4x4
+SUPG element matrices (e17:64-67) are exactly the Gauss-quadrature integrals
+of these terms for deg-1 bases — recovered here from the general tables (and
+pinned by a test against those constants).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from .base import FEM2DModule
+from .poisson import _squeeze_field
+
+
+class AdvDiff2D(FEM2DModule):
+    def __init__(self, network=None, dataset=None,
+                 adv=(math.cos(math.pi / 6), math.sin(math.pi / 6)),
+                 diffusivity=1e-4, **kwargs):
+        super().__init__(network, dataset, **kwargs)
+        self.adv = np.asarray(adv, np.float64)
+        self.adv_mag = float(np.linalg.norm(self.adv))
+        self.diffusivity = float(diffusivity)
+        self.tau = 1.0 / (2.0 * self.adv_mag / self.h
+                          + 4.0 * self.diffusivity / self.h**2)
+        forcing = kwargs.get("forcing", None)
+        self.f_gp = (np.asarray(forcing(self.xgp, self.ygp), np.float32)
+                     if forcing is not None else None)
+        self.bc1_value = kwargs.get("bc1_value", 1.0)
+
+    def residual(self, u, f_gp, bc1, bc2):
+        ax, ay = float(self.adv[0]), float(self.adv[1])
+        nu, tau = self.diffusivity, self.tau
+        gp = self.gp_all(u, ("dx", "dy"))
+        a_grad_u = ax * gp["dx"] + ay * gp["dy"]
+        # lhs terms: advection (vs N), diffusion (vs dN), SUPG (vs a·dN)
+        R = (self.assemble(a_grad_u, "N")
+             + nu * (self.assemble(gp["dx"], "dx")
+                     + self.assemble(gp["dy"], "dy"))
+             + tau * (ax * self.assemble(a_grad_u, "dx")
+                      + ay * self.assemble(a_grad_u, "dy")))
+        # rhs with SUPG-weighted test function
+        R = R - (self.assemble(f_gp, "N")
+                 + tau * (ax * self.assemble(f_gp, "dx")
+                          + ay * self.assemble(f_gp, "dy")))
+        R = jnp.where(bc1 > 0.5, jnp.zeros_like(R), R)
+        R = jnp.where(bc2 > 0.5, jnp.zeros_like(R), R)
+        return R
+
+    def loss(self, u, inputs_tensor, forcing_tensor):
+        u = _squeeze_field(u)
+        bc1 = inputs_tensor[..., 1]
+        bc2 = inputs_tensor[..., 2]
+        f = _squeeze_field(forcing_tensor)
+        u = self.apply_dirichlet(u, bc1, self.bc1_value)
+        u = self.apply_dirichlet(u, bc2, 0.0)
+        f_gp = (jnp.asarray(self.f_gp, u.dtype) if self.f_gp is not None
+                else self.gauss_pt_evaluation(f))
+        R = self.residual(u, f_gp, bc1, bc2)
+        return jnp.sum(R**2)

@@ -91,6 +91,13 @@ class PDEModule:
         (reference pattern, e.g. examples/poisson/single_instance/0_base.py:41-42)."""
         return jnp.where(mask > 0.5, jnp.broadcast_to(value, u.shape), u)
 
+    def apply_bcs(self, u, inputs_tensor):
+        """Return the BC-substituted solution field — what query/plot/L2
+        tooling should consume (the reference applies the same where-masks
+        before visualization/L2, e.g. e8_2d_poisson_mms.py:263-279).
+        Default: identity; formulations override."""
+        return u
+
 
 class _FEMMixin:
     """Shared FEM setup: element counts, spacings, fused basis tables
