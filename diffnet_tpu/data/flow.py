@@ -1,0 +1,97 @@
+"""Flow datasets: Stokes MMS, NS lid-driven cavity, NS flow-past-object.
+
+Reference: example-local datasets Stokes_MMS_Dataset
+(examples/stokes/single_instance/e1_stokes_mms_resmin.py:28-69),
+NS_LDC_Dataset (examples/navier-stokes/single_instance/
+e1_ns_ldc_resmin.py:51-95), NS_FPC_Dataset (examples/navier-stokes/
+parametric/e2_ns_fpc_embedded_airfoil.py:95-158). Channels-last:
+inputs[..., (x, y, bc1, bc2, bc3[, nu])].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["StokesMMSDataset", "NSLDCDataset", "FlowPastObjectDataset"]
+
+
+class _FlowBase:
+    n_samples = 100
+
+    def __len__(self):
+        return self.n_samples
+
+    def __getitem__(self, index):
+        inputs = np.stack(self.channels, axis=-1).astype(np.float32)
+        forcing = np.full(inputs.shape[:-1] + (1,), 1.0 / self.Re, np.float32)
+        return inputs, forcing
+
+
+class StokesMMSDataset(_FlowBase):
+    """All-wall Dirichlet for u (bc1) and v (bc2); pressure pin at node
+    (0,0) (bc3). The reference variant pins only top/bottom for u
+    (e1_stokes_mms_resmin.py:40-56); full-wall is used for the MMS test."""
+
+    def __init__(self, domain_size=64, Re=1):
+        n = domain_size
+        x = np.linspace(0, 1, n)
+        self.x, self.y = np.meshgrid(x, x)
+        walls = np.zeros((n, n))
+        walls[[0, -1], :] = 1.0
+        walls[:, [0, -1]] = 1.0
+        self.bc1 = walls
+        self.bc2 = walls.copy()
+        self.bc3 = np.zeros((n, n)); self.bc3[0, 0] = 1.0
+        self.Re = Re
+        self.channels = [self.x, self.y, self.bc1, self.bc2, self.bc3]
+
+
+class NSLDCDataset(_FlowBase):
+    """Lid-driven cavity: all walls Dirichlet for u and v, pressure pinned
+    at corner; extra random nu channel (e1_ns_ldc_resmin.py:51-95)."""
+
+    def __init__(self, domain_lengths=(1.0, 1.0), domain_sizes=(32, 32),
+                 Re=1, seed=0):
+        nx, ny = domain_sizes
+        x = np.linspace(0, domain_lengths[0], nx)
+        y = np.linspace(0, domain_lengths[1], ny)
+        self.x, self.y = np.meshgrid(x, y)
+        walls = np.zeros((ny, nx))
+        walls[[0, -1], :] = 1.0
+        walls[:, [0, -1]] = 1.0
+        self.bc1 = walls
+        self.bc2 = walls.copy()
+        self.bc3 = np.zeros((ny, nx)); self.bc3[0, 0] = 1.0
+        self.Re = Re
+        self.nu = np.random.default_rng(seed).normal(0, 1.0, (ny, nx))
+        self.channels = [self.x, self.y, self.bc1, self.bc2, self.bc3,
+                         self.nu]
+
+
+class FlowPastObjectDataset(_FlowBase):
+    """Channel flow past an embedded object chi (image or mask): parabolic
+    inlet profile on the left, no-slip on the object and top/bottom walls,
+    pressure pinned at the outlet corner (reference
+    e2_ns_fpc_embedded_airfoil.py:95-158,184)."""
+
+    def __init__(self, chi, domain_lengths=(4.0, 1.0), Re=100):
+        chi = np.asarray(chi, np.float64)
+        ny, nx = chi.shape
+        x = np.linspace(0, domain_lengths[0], nx)
+        y = np.linspace(0, domain_lengths[1], ny)
+        self.x, self.y = np.meshgrid(x, y)
+        H = domain_lengths[1]
+        inlet = 4.0 * self.y[:, 0] * (H - self.y[:, 0]) / H**2
+        bc_u = np.zeros((ny, nx))
+        bc_u[:, 0] = 1.0           # inlet (value from u_bc profile)
+        bc_u[[0, -1], :] = 1.0     # walls
+        bc_u += chi                # object no-slip
+        bc_v = bc_u.copy()
+        bc_p = np.zeros((ny, nx)); bc_p[ny // 2, -1] = 1.0
+        self.bc1 = np.clip(bc_u, 0, 1)
+        self.bc2 = np.clip(bc_v, 0, 1)
+        self.bc3 = bc_p
+        self.Re = Re
+        self.u_bc = np.zeros((ny, nx), np.float32)
+        self.u_bc[:, 0] = inlet
+        self.channels = [self.x, self.y, self.bc1, self.bc2, self.bc3, chi]

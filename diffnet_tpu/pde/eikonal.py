@@ -1,0 +1,101 @@
+"""Eikonal equation / signed-distance reconstruction from point clouds.
+
+Reference: examples/eiqonal/single_instance/e01_curve_reconstruction.py
+(loss4, lines 453-565) and the FDM variant (lossFDM, 234-285). Three-part
+loss for |grad u| = 1 with zero level set on the cloud:
+
+  * domain residual (stabilized weak form, tau = 0.25, e01:217):
+      R_i = ∫ tau u (grad N_i · grad u) + (1+tau) N_i (|grad u|^2 - 1)
+  * zero-level:  sum_p u(p)^2            (cloud points on the curve)
+  * normal alignment: sum_p (grad u(p)·n_p - 1)^2
+
+Point evaluation via :func:`diffnet_tpu.core.interp.grid_interp_2d`.
+Batch = (cloud[B, Np, >=4], forcing) with cloud columns (x, y, nx, ny, ...).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.interp import grid_interp_2d
+from .base import FEM2DModule
+from .poisson import _squeeze_field
+
+
+def signed_occupancy_init(points, normals, areas, grid_shape, scale=0.1):
+    """Crude signed initialization for direct-field eikonal solves:
+    +scale outside / -scale inside from the winding-number occupancy.
+    The eikonal landscape is nonconvex; starting from a field with the right
+    sign structure (which the reference obtains implicitly through its
+    network parameterization) is what makes direct LBFGS solves converge."""
+    import jax.numpy as _jnp
+
+    from ..core.geometry import occupancy_from_cloud
+
+    chi = occupancy_from_cloud(points, normals, areas, grid_shape)
+    return scale * (1.0 - 2.0 * chi)
+
+
+class Eikonal2D(FEM2DModule):
+    def __init__(self, network=None, dataset=None, tau=0.25,
+                 sdf_weight=1.0, normals_weight=1.0, **kwargs):
+        super().__init__(network, dataset, **kwargs)
+        self.tau = float(tau)
+        self.sdf_weight = float(sdf_weight)
+        self.normals_weight = float(normals_weight)
+
+    def domain_residual(self, u):
+        tau = self.tau
+        gp = self.gp_all(u, ("N", "dx", "dy"))
+        grad2 = gp["dx"] ** 2 + gp["dy"] ** 2
+        R = (tau * (self.assemble(gp["N"] * gp["dx"], "dx")
+                    + self.assemble(gp["N"] * gp["dy"], "dy"))
+             + (1.0 + tau) * self.assemble(grad2 - 1.0, "N"))
+        return R
+
+    def loss(self, u, cloud, forcing_tensor):
+        u = _squeeze_field(u)
+        pts = cloud[..., 0:2]
+        normals = cloud[..., 2:4]
+        R1 = self.domain_residual(u)
+        u_pts, grad_pts = grid_interp_2d(u, pts, (self.hx, self.hy),
+                                         deg=self.fem_basis_deg)
+        sdf_recon = jnp.sum(u_pts**2)
+        normals_loss = jnp.sum(
+            (jnp.sum(grad_pts * normals, -1) - 1.0) ** 2)
+        return (jnp.sqrt(jnp.sum(R1**2) + 1e-12)
+                + self.sdf_weight * sdf_recon
+                + self.normals_weight * normals_loss)
+
+    def forward(self, params, batch):
+        cloud, forcing = batch
+        u = self.network.apply(params, cloud)
+        return u, cloud, forcing
+
+    def init_params(self, rng, sample_batch):
+        return self.network.init(rng, sample_batch[0])
+
+
+class EikonalFDM2D(Eikonal2D):
+    """FDM variant: R1 = |grad u|^2 - 1 via stencils, mean-square over the
+    grid, plus the same cloud terms (reference lossFDM, e01:234-285)."""
+
+    def __init__(self, network=None, dataset=None, **kwargs):
+        super().__init__(network, dataset, **kwargs)
+        from ..core.fdm import make_fdm
+
+        self.fdm = make_fdm(2, self.domain_size)
+
+    def loss(self, u, cloud, forcing_tensor):
+        u = _squeeze_field(u)
+        pts = cloud[..., 0:2]
+        normals = cloud[..., 2:4]
+        ux = self.fdm.dx(u, mode="full")
+        uy = self.fdm.dy(u, mode="full")
+        R1 = ux**2 + uy**2 - 1.0
+        u_pts, grad_pts = grid_interp_2d(u, pts, (self.hx, self.hy), deg=1)
+        sdf_recon = jnp.sum(u_pts**2)
+        normals_loss = (jnp.sum((grad_pts[..., 0] - normals[..., 0]) ** 2)
+                        + jnp.sum((grad_pts[..., 1] - normals[..., 1]) ** 2))
+        return (jnp.mean(R1**2) + self.sdf_weight * sdf_recon
+                + self.normals_weight * normals_loss)

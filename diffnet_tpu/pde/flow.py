@@ -1,0 +1,220 @@
+"""Incompressible flow: Stokes (PSPG) and Navier-Stokes (full VMS).
+
+Reference: examples/stokes/single_instance/e1_stokes_mms_resmin.py:71-220,
+examples/navier-stokes/single_instance/e1_ns_ldc_resmin.py:100-345 and the
+shared base b1_stokes_ns_resmin_base.py (eq_type in {stokes, ns}).
+
+Mixed (u, v, p) equal-order Q1 discretization on the structured grid with
+  * PSPG pressure stabilization (pspg_param = h^2 Re / 12) for Stokes,
+  * residual-based VMS for NS: tau_m/tau_c from the element metric
+    (calc_tau, e1_ns_ldc_resmin.py:147-167), cross terms C1/C2, Reynolds
+    stress, and PSPG — advective field detached (lax.stop_gradient), as in
+    the reference (u.clone().detach(), e1:246).
+
+All 13 Gauss-point quantities (u,v: N,dx,dy,d2x,d2y; p: N,dx,dy) are
+evaluated in ONE fused contraction per field. The reference's post-assembly
+``R = where(bc, u_bc, R)`` (adds a constant ||u_bc||^2 to the loss,
+e1_stokes:210-213) is implemented as the equivalent zeroing of Dirichlet
+rows.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import FEM2DModule
+from .poisson import _squeeze_field
+
+
+def calc_tau(h, u, v, visco):
+    """VMS stabilization parameters at Gauss points (detached advection),
+    reference e1_ns_ldc_resmin.py:147-167."""
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    Gxx = 4.0 / h**2
+    Cinv = 36.0
+    adv_part = Gxx * u**2 + Gxx * v**2
+    diff_part = Cinv * visco**2 * (2.0 * Gxx**2)
+    temp = jnp.sqrt(adv_part + diff_part)
+    taum = 1.0 / temp
+    tauc = temp / (2.0 * Gxx)
+    return taum, tauc
+
+
+class StokesNSBase(FEM2DModule):
+    """Shared mixed-field residual machinery; subclasses set eq_type."""
+
+    eq_type = "stokes"
+
+    def __init__(self, network=None, dataset=None, **kwargs):
+        super().__init__(network, dataset, **kwargs)
+        self.Re = float(kwargs.get("Re", getattr(dataset, "Re", 1.0)))
+        self.loss_norm = kwargs.get("loss_norm", "frobenius")
+        self.viscosity = 1.0 / self.Re
+        self.pspg_param = self.h**2 * self.Re / 12.0
+        # Dirichlet data fields (nodal), defaulting to zero
+        zeros = np.zeros(self.node_shape, np.float32)
+        self.u_bc = np.asarray(kwargs.get("u_bc", zeros), np.float32)
+        self.v_bc = np.asarray(kwargs.get("v_bc", zeros), np.float32)
+        self.p_bc = np.asarray(kwargs.get("p_bc", zeros), np.float32)
+        forcing = kwargs.get("forcing", None)
+        if forcing is not None:
+            fx, fy = forcing(self.xgp, self.ygp)
+            self.fx_gp = np.asarray(fx, np.float32)
+            self.fy_gp = np.asarray(fy, np.float32)
+        else:
+            self.fx_gp = self.fy_gp = None
+        self.exact_solution = kwargs.get("exact_solution", None)
+
+    # -- helpers ---------------------------------------------------------
+    def _apply_field_bcs(self, pred, inputs):
+        u, v, p = (_squeeze_field(f) for f in pred)
+        bc1 = inputs[..., 2]
+        bc2 = inputs[..., 3]
+        bc3 = inputs[..., 4]
+        u = jnp.where(bc1 > 0.5, jnp.broadcast_to(
+            jnp.asarray(self.u_bc, u.dtype), u.shape), u)
+        v = jnp.where(bc2 > 0.5, jnp.broadcast_to(
+            jnp.asarray(self.v_bc, v.dtype), v.shape), v)
+        p = jnp.where(bc3 > 0.5, jnp.broadcast_to(
+            jnp.asarray(self.p_bc, p.dtype), p.shape), p)
+        return u, v, p, bc1, bc2, bc3
+
+    def apply_bcs(self, pred, inputs_tensor):
+        u, v, p, *_ = self._apply_field_bcs(pred, inputs_tensor)
+        return u, v, p
+
+    def calc_residuals(self, pred, inputs_tensor, forcing_tensor):
+        visco = self.viscosity
+        u_pred, v_pred, p_pred, bc1, bc2, bc3 = self._apply_field_bcs(
+            pred, inputs_tensor)
+        dt = u_pred.dtype
+        if self.fx_gp is not None:
+            f1 = jnp.asarray(self.fx_gp, dt)
+            f2 = jnp.asarray(self.fy_gp, dt)
+        else:
+            f1 = f2 = jnp.zeros((1, 1, 1, self.ngp_total), dt)
+
+        # fused per-field evaluation
+        ugp = self.gp_all(u_pred, ("N", "dx", "dy", "d2x", "d2y"))
+        vgp = self.gp_all(v_pred, ("N", "dx", "dy", "d2x", "d2y"))
+        pgp = self.gp_all(p_pred, ("N", "dx", "dy"))
+        u, u_x, u_y = ugp["N"], ugp["dx"], ugp["dy"]
+        v, v_x, v_y = vgp["N"], vgp["dx"], vgp["dy"]
+        p, p_x, p_y = pgp["N"], pgp["dx"], pgp["dy"]
+        divergence = u_x + v_y
+
+        if self.eq_type == "stokes":
+            # PSPG-stabilized Stokes (e1_stokes_mms_resmin.py:159-198)
+            R1 = (visco * (self.assemble(u_x, "dx")
+                           + self.assemble(u_y, "dy"))
+                  - self.assemble(p, "dx") - self.assemble(f1, "N"))
+            R2 = (visco * (self.assemble(v_x, "dx")
+                           + self.assemble(v_y, "dy"))
+                  - self.assemble(p, "dy") - self.assemble(f2, "N"))
+            R3 = (self.assemble(divergence, "N")
+                  + self.pspg_param * (self.assemble(p_x, "dx")
+                                       + self.assemble(p_y, "dy")))
+        else:
+            # full VMS NS (e1_ns_ldc_resmin.py:248-300)
+            lap1 = ugp["d2x"] + ugp["d2y"]
+            lap2 = vgp["d2x"] + vgp["d2y"]
+            adv1 = u * u_x + v * u_y
+            adv2 = u * v_x + v * v_y
+            res1 = adv1 - visco * lap1 + p_x - f1
+            res2 = adv2 - visco * lap2 + p_y - f2
+            taum, tauc = calc_tau(self.h, u, v, visco)
+
+            # momentum-x: Galerkin + VMS terms, each projected on its test fn
+            R1 = (self.assemble(adv1 - f1, "N")
+                  + visco * (self.assemble(u_x, "dx")
+                             + self.assemble(u_y, "dy"))
+                  - self.assemble(p, "dx")
+                  # cross term 1: (u·grad W) tau res
+                  + self.assemble(taum * u * res1, "dx")
+                  + self.assemble(taum * v * res1, "dy")
+                  # cross term 2: -W tau (res·grad U)
+                  - self.assemble(taum * (res1 * u_x + res2 * u_y), "N")
+                  # Reynolds stress: -tau^2 res (res·grad W)
+                  - self.assemble(taum**2 * res1 * res1, "dx")
+                  - self.assemble(taum**2 * res1 * res2, "dy")
+                  # grad-div
+                  + self.assemble(tauc * divergence, "dx"))
+            R2 = (self.assemble(adv2 - f2, "N")
+                  + visco * (self.assemble(v_x, "dx")
+                             + self.assemble(v_y, "dy"))
+                  - self.assemble(p, "dy")
+                  + self.assemble(taum * u * res2, "dx")
+                  + self.assemble(taum * v * res2, "dy")
+                  - self.assemble(taum * (res1 * v_x + res2 * v_y), "N")
+                  - self.assemble(taum**2 * res2 * res1, "dx")
+                  - self.assemble(taum**2 * res2 * res2, "dy")
+                  + self.assemble(tauc * divergence, "dy"))
+            R3 = (self.assemble(divergence, "N")
+                  + self.assemble(taum * res1, "dx")
+                  + self.assemble(taum * res2, "dy"))
+
+        R1 = jnp.where(bc1 > 0.5, jnp.zeros_like(R1), R1)
+        R2 = jnp.where(bc2 > 0.5, jnp.zeros_like(R2), R2)
+        R3 = jnp.where(bc3 > 0.5, jnp.zeros_like(R3), R3)
+        return R1, R2, R3
+
+    def loss(self, pred, inputs_tensor, forcing_tensor):
+        R1, R2, R3 = self.calc_residuals(pred, inputs_tensor, forcing_tensor)
+        if self.loss_norm == "squared":
+            # better-conditioned for LBFGS (smooth at the optimum); the
+            # reference's sum-of-Frobenius-norms is kept as the default for
+            # loss-value parity (e1_stokes_mms_resmin.py:215-218)
+            return jnp.sum(R1**2) + jnp.sum(R2**2) + jnp.sum(R3**2)
+        norm = lambda R: jnp.sqrt(jnp.sum(R**2) + 1e-12)
+        return norm(R1) + norm(R2) + norm(R3)
+
+
+class StokesMMS(StokesNSBase):
+    """Stokes with PSPG; MMS exact solution
+    u = sin(pi x) cos(pi y), v = -cos(pi x) sin(pi y), p = sin(pi x) sin(pi y)
+    (reference e1_stokes_mms_resmin.py:94-112)."""
+
+    eq_type = "stokes"
+
+    def __init__(self, network=None, dataset=None, **kwargs):
+        pi, sin, cos = np.pi, np.sin, np.cos
+        kwargs.setdefault("forcing", lambda x, y: (
+            2 * pi**2 * sin(pi * x) * cos(pi * y)
+            + pi * sin(pi * y) * cos(pi * x),
+            -2 * pi**2 * sin(pi * y) * cos(pi * x)
+            + pi * sin(pi * x) * cos(pi * y),
+        ))
+        super().__init__(network, dataset, **kwargs)
+        x, y = self.xx, self.yy
+        self.u_exact = np.sin(pi * x) * np.cos(pi * y)
+        self.v_exact = -np.cos(pi * x) * np.sin(pi * y)
+        self.p_exact = np.sin(pi * x) * np.sin(pi * y)
+        if kwargs.get("mms_dirichlet", True):
+            self.u_bc = self.u_exact.astype(np.float32)
+            self.v_bc = self.v_exact.astype(np.float32)
+            self.p_bc = self.p_exact.astype(np.float32)
+
+
+class NavierStokes(StokesNSBase):
+    """VMS-stabilized steady NS (lid-driven cavity & friends)."""
+
+    eq_type = "ns"
+
+    def __init__(self, network=None, dataset=None, **kwargs):
+        super().__init__(network, dataset, **kwargs)
+
+
+def ldc_bcs(node_shape, lengths=(1.0, 1.0), regularized=True):
+    """Lid-driven-cavity Dirichlet data: u = 1 - 16 (x - 1/2)^4 on the lid
+    (regularized; reference e1_ns_ldc_resmin.py:119-125), no-slip elsewhere,
+    pressure pinned at node (0,0)."""
+    ny, nx = node_shape
+    x = np.linspace(0, lengths[0], nx)
+    u_bc = np.zeros(node_shape, np.float32)
+    u_bc[-1, :] = (1.0 - 16.0 * (x - 0.5) ** 4) if regularized else 1.0
+    v_bc = np.zeros(node_shape, np.float32)
+    p_bc = np.zeros(node_shape, np.float32)
+    return u_bc, v_bc, p_bc

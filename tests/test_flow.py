@@ -1,0 +1,101 @@
+"""Stokes PSPG and Navier-Stokes VMS tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffnet_tpu.data.flow import NSLDCDataset, StokesMMSDataset
+from diffnet_tpu.models.field import DirectField
+from diffnet_tpu.pde.flow import NavierStokes, StokesMMS, calc_tau, ldc_bcs
+from diffnet_tpu.train.trainer import Trainer
+
+
+class TripleField:
+    """Three independent nodal fields (u, v, p) as one params dict."""
+
+    def __init__(self, shape):
+        self.shape = tuple(shape)
+
+    def init(self, rng, sample=None):
+        z = jnp.zeros(self.shape)
+        return {"u": z, "v": z, "p": z}
+
+    def apply(self, params, inputs=None):
+        b = 1 if inputs is None else inputs.shape[0]
+        f = lambda k: jnp.broadcast_to(params[k][None], (b,) + self.shape)
+        return f("u"), f("v"), f("p")
+
+
+def test_calc_tau_matches_reference_formula():
+    h, visco = 0.05, 0.01
+    u = jnp.asarray([1.0, 0.2])
+    v = jnp.asarray([0.5, -0.1])
+    taum, tauc = calc_tau(h, u, v, visco)
+    G = 4.0 / h**2
+    temp = np.sqrt(G * np.asarray(u) ** 2 + G * np.asarray(v) ** 2
+                   + 36.0 * visco**2 * 2 * G**2)
+    np.testing.assert_allclose(np.asarray(taum), 1.0 / temp, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(tauc), temp / (2 * G), rtol=1e-5)
+
+
+def test_stokes_mms_solve():
+    """Direct-field Stokes MMS with LBFGS: velocity L2 error to ~1e-2
+    (reference e1_stokes_mms_resmin.py acceptance)."""
+    n = 32
+    ds = StokesMMSDataset(domain_size=n)
+    ds.n_samples = 1
+    net = TripleField((n, n))
+    m = StokesMMS(net, ds, domain_size=n, batch_size=1, Re=1, loss_norm="squared")
+    tr = Trainer(max_epochs=300, optimizer="lbfgs", lbfgs_max_iter=10)
+    st = tr.fit(m)
+    inputs = jnp.asarray(ds[0][0])[None]
+    u, v, p = m.apply_bcs(net.apply(st.params, inputs), inputs)
+    jxw = m.jxw_c()
+    for field, exact in ((u, m.u_exact), (v, m.v_exact)):
+        f_gp = m.gauss_pt_evaluation(field[0])
+        x, y = m.xgp, m.ygp
+        # exact at gp
+        import math
+        if exact is m.u_exact:
+            ex_gp = np.sin(math.pi * x) * np.cos(math.pi * y)
+        else:
+            ex_gp = -np.cos(math.pi * x) * np.sin(math.pi * y)
+        e = float(jnp.sqrt(jnp.sum((f_gp - ex_gp) ** 2 * jxw)))
+        ref = float(jnp.sqrt(jnp.sum(jnp.asarray(ex_gp) ** 2 * jxw)))
+        assert e / ref < 2e-2, e / ref
+
+
+def test_ns_ldc_solves_and_conserves_mass():
+    """NS lid-driven cavity Re=100 at 32^2: residual drops, the lid profile
+    is honored, and the divergence is small (VMS/PSPG working)."""
+    n = 32
+    ds = NSLDCDataset(domain_sizes=(n, n), Re=100)
+    ds.n_samples = 1
+    u_bc, v_bc, p_bc = ldc_bcs((n, n))
+    net = TripleField((n, n))
+    m = NavierStokes(net, ds, domain_size=n, batch_size=1, Re=100,
+                     u_bc=u_bc, v_bc=v_bc, p_bc=p_bc, loss_norm="squared")
+    batch = (jnp.asarray(ds[0][0])[None], jnp.asarray(ds[0][1])[None])
+    loss0 = float(m.training_loss(net.init(None), batch))
+    tr = Trainer(max_epochs=150, optimizer="lbfgs", lbfgs_max_iter=10)
+    st = tr.fit(m)
+    loss1 = float(m.training_loss(st.params, batch))
+    assert loss1 < loss0 * 0.05, (loss0, loss1)
+
+    inputs = batch[0]
+    u, v, p = m.apply_bcs(net.apply(st.params, inputs), inputs)
+    u = np.asarray(u)[0]
+    v = np.asarray(v)[0]
+    # lid profile honored
+    x = np.linspace(0, 1, n)
+    np.testing.assert_allclose(u[-1], 1 - 16 * (x - 0.5) ** 4, atol=1e-5)
+    # no-slip on other walls
+    assert np.abs(u[0]).max() < 1e-5 and np.abs(v[:, 0]).max() < 1e-5
+    # mass conservation: mean |div| well below the velocity scale
+    gp = m.gp_all(jnp.asarray(u)[None], ("dx",))
+    gpv = m.gp_all(jnp.asarray(v)[None], ("dy",))
+    div = np.abs(np.asarray(gp["dx"] + gpv["dy"]))
+    assert div.mean() < 0.5, div.mean()
+    # a primary vortex exists: u reverses sign along the vertical midline
+    umid = u[:, n // 2]
+    assert umid.min() < -0.05 and umid.max() > 0.5
