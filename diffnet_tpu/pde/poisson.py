@@ -103,6 +103,16 @@ class _PoissonCommon:
             return jnp.asarray(self.gpw, dtype)
         return jnp.asarray(self.jxw, dtype)
 
+    def apply_bcs(self, u, inputs_tensor):
+        u = _squeeze_field(u)
+        bc1 = inputs_tensor[..., 1]
+        bc2 = inputs_tensor[..., 2]
+        if self.u_bc is not None:
+            u_bc = jnp.asarray(self.u_bc, u.dtype)
+            return jnp.where(bc2 > 0.5, jnp.broadcast_to(u_bc, u.shape), u)
+        u = self.apply_dirichlet(u, bc1, self.bc1_value)
+        return self.apply_dirichlet(u, bc2, self.bc2_value)
+
     def loss(self, u, inputs_tensor, forcing_tensor):
         u = _squeeze_field(u)
         nu = inputs_tensor[..., 0]

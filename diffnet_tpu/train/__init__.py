@@ -1,0 +1,11 @@
+from .query import calc_mean_stddev, query_batched, query_statistical  # noqa: F401
+from .trainer import (  # noqa: F401
+    Callback,
+    CSVLogger,
+    EarlyStopping,
+    Trainer,
+    TrainState,
+    load_params,
+    make_run_dir,
+    save_params,
+)
