@@ -184,6 +184,39 @@ def galerkin_project(integrand_gp: jax.Array, basis: FEMBasis, quantity: str,
     return scatter_elements(r_elem, basis.deg, basis.nsd, node_shape)
 
 
+def galerkin_project_multi(integrands: Sequence[tuple[jax.Array, str]],
+                           basis: FEMBasis, node_shape: Sequence[int],
+                           apply_jxw: bool = True) -> jax.Array:
+    """Sum of several weak-form terms assembled in ONE matmul + ONE scatter:
+
+        R = sum_q  scatter( integrand_q @ (T_q * JxW) )
+          = scatter( concat_q(integrand_q) @ concat_q(T_q * JxW) )
+
+    `integrands`: sequence of (gp_integrand [..., nel*, ngp], quantity).
+    3-5x fewer HBM round-trips than chaining :func:`galerkin_project` —
+    use this for any residual with more than one term.
+    """
+    tables = []
+    for _, q in integrands:
+        t = basis.tables[q]
+        tables.append(t * basis.jxw[:, None] if apply_jxw else t)
+    big_t = np.concatenate(tables, axis=0)  # [nq*ngp, nbf]
+    igs = [ig for ig, _ in integrands]
+    # broadcast all integrands to a common (batch) shape before concat
+    shape = jnp.broadcast_shapes(*[ig.shape for ig in igs])
+    igs = [jnp.broadcast_to(ig, shape) for ig in igs]
+    big_i = jnp.concatenate(igs, axis=-1)
+    t = jnp.asarray(big_t, dtype=big_i.dtype)
+    r_elem = jax.lax.dot_general(
+        big_i, t,
+        dimension_numbers=(((big_i.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=(jnp.float32
+                                if big_i.dtype != jnp.float64 else None),
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(big_i.dtype)
+    return scatter_elements(r_elem, basis.deg, basis.nsd, node_shape)
+
+
 def gp_coords(basis: FEMBasis, node_shape: Sequence[int],
               lengths: Sequence[float] | None = None) -> tuple[np.ndarray, ...]:
     """Physical coordinates of every Gauss point, as numpy constants.

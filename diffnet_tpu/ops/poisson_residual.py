@@ -1,0 +1,195 @@
+"""Pallas TPU kernel: fully-fused Poisson Galerkin stiffness action.
+
+Computes, in ONE pass over HBM,
+
+    Ku[b, j, i] = sum_{elements e adjacent to node (j,i)} sum_gp
+                  JxW_gp * nu(e,gp) * grad(N_(j,i)) · grad(u)(e,gp)
+
+i.e. the eval -> physics -> Galerkin-projection -> scatter-assembly chain of
+the reference resmin path (DiffNet/DiffNetFEM.py:143-174 + tests/test.py:36-79)
+as a single kernel: the op-by-op XLA path materializes the Gauss-point fields
+(3x ngp x field size) in HBM between ops; here they live and die in VMEM and
+HBM traffic is just u + nu in, Ku out.
+
+Structure: grid (B, row-tiles). Each program DMAs a (TY+2)-node-row halo
+strip of u and nu from HBM into VMEM scratch (overlapping strips are not
+expressible with plain BlockSpec index maps, which address in block units),
+computes the TY+1 element rows covering its TY output node rows, masks the
+out-of-domain element rows at the top/bottom tiles, and accumulates the
+Q1 assembly entirely in registers/VMEM.
+
+Deg-1 (bilinear, 2x2 Gauss) 2D only — the configuration of every reference
+benchmark workload. Differentiable via custom VJP: the stiffness action is
+self-adjoint in u, and d/d(nu) is one Galerkin projection.
+
+STATUS: numerics validated (matches the XLA path to round-off in Pallas
+interpreter mode, including both VJPs — see tests/test_pallas_kernel.py).
+On this image's experimental 'axon' TPU relay, launching the compiled kernel
+hung the device (DMA wait never completed); execution on real TPU is
+therefore NOT wired into any default path yet — the XLA fused-multi path in
+:mod:`diffnet_tpu.core.fem` remains the production residual. Revisit on a
+standard TPU runtime.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import fem
+from ..core.quadrature import FEMBasis
+
+__all__ = ["poisson_stiffness_action", "poisson_residual_fused"]
+
+
+def _build_tables(basis: FEMBasis):
+    assert basis.deg == 1 and basis.nsd == 2 and basis.ngp_1d == 2, (
+        "fused kernel supports deg-1 2D with 2x2 Gauss only")
+    NT = [[float(v) for v in basis.tables["N"][g]] for g in range(4)]
+    DXT = [[float(v) for v in basis.tables["dx"][g]] for g in range(4)]
+    DYT = [[float(v) for v in basis.tables["dy"][g]] for g in range(4)]
+    jxw = [float(v) for v in basis.jxw]
+    return NT, DXT, DYT, jxw
+
+
+def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TY, n, nel):
+    NT, DXT, DYT, jxw = tables
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    # halo strip: padded node rows [t*TY, t*TY + TY + 2) == real node rows
+    # [t*TY - 1, t*TY + TY + 1); full (128-aligned) padded column width
+    row0 = t * TY
+    # strip height TY+8 (DMA row slices must be 8-aligned); only the first
+    # TY+2 rows are used
+    cp_u = pltpu.make_async_copy(u_hbm.at[b, pl.ds(row0, TY + 8), :], u_s,
+                                 sems.at[0])
+    cp_nu = pltpu.make_async_copy(nu_hbm.at[b, pl.ds(row0, TY + 8), :], nu_s,
+                                  sems.at[1])
+    cp_u.start()
+    cp_nu.start()
+    cp_u.wait()
+    cp_nu.wait()
+
+    u = u_s[: TY + 2]
+    nu = nu_s[: TY + 2]
+
+    # element corner fields for the TY+1 element rows x nel element cols
+    def corners(a):
+        return (a[:-1, :-1], a[:-1, 1:], a[1:, :-1], a[1:, 1:])
+
+    uc = corners(u[:, :nel + 1])
+    nc = corners(nu[:, :nel + 1])
+
+    # mask element rows/cols whose global index is outside [0, nel)
+    e_row = (jax.lax.broadcasted_iota(jnp.int32, (TY + 1, nel), 0)
+             + row0 - 1)
+    e_col = jax.lax.broadcasted_iota(jnp.int32, (TY + 1, nel), 1)
+    valid = (jnp.logical_and(e_row >= 0, e_row < nel)
+             & (e_col < nel)).astype(u.dtype)
+
+    acc = [None, None, None, None]
+    for g in range(4):
+        ux = sum(DXT[g][k] * uc[k] for k in range(4))
+        uy = sum(DYT[g][k] * uc[k] for k in range(4))
+        nug = sum(NT[g][k] * nc[k] for k in range(4))
+        gx = (jxw[g] * nug) * ux
+        gy = (jxw[g] * nug) * uy
+        for ibf in range(4):
+            contrib = DXT[g][ibf] * gx + DYT[g][ibf] * gy
+            acc[ibf] = contrib if acc[ibf] is None else acc[ibf] + contrib
+
+    # Q1 node assembly for output node rows [t*TY, t*TY + TY):
+    # node (j, i) <- elem(j-1+a?, ...): local node row j corresponds to
+    # element local rows j (bf row 0) and j+1... mapping:
+    #   R[j, i] += acc[2*jb+ib][j+1-jb, i-ib]  for jb, ib in {0,1}
+    a0 = acc[0] * valid
+    a1 = acc[1] * valid
+    a2 = acc[2] * valid
+    a3 = acc[3] * valid
+    # jb=0 -> element local row j+1; jb=1 -> element local row j
+    left = a0[1:, :] + a2[:TY, :]    # column contribution ib=0 -> cols [0, nel)
+    right = a1[1:, :] + a3[:TY, :]   # ib=1 -> cols [1, n)
+    out_ref[0] = jnp.zeros((TY, n), u.dtype)
+    out_ref[0, :, :nel] = left
+    out_ref[0, :, 1:] = out_ref[0, :, 1:] + right
+
+
+def _stiffness_fwd_impl(u, nu, basis: FEMBasis, tile_y: int = 128):
+    B, n, _ = u.shape
+    nel = n - 1
+    TY = min(tile_y, -(-n // 8) * 8)
+    ntiles = -(-n // TY)
+    # pad: 1 top halo row + bottom rows so every strip [t*TY, t*TY+TY+2) is
+    # in range (padded rows are masked out of the element sums); columns
+    # padded to the 128-lane boundary required by DMA slicing
+    assert TY % 8 == 0 or TY == n, "tile_y must be a multiple of 8"
+    pad_rows = ntiles * TY + 8
+    CP = -(-n // 128) * 128
+    cfg = ((0, 0), (1, pad_rows - n - 1), (0, CP - n))
+    u_p = jnp.pad(u, cfg)
+    nu_p = jnp.pad(nu, cfg)
+    tables = _build_tables(basis)
+
+    out = pl.pallas_call(
+        partial(_kernel, tables=tables, TY=TY, n=n, nel=nel),
+        grid=(B, ntiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, TY, n), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, ntiles * TY, n), u.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TY + 8, CP), u.dtype),
+            pltpu.VMEM((TY + 8, CP), u.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(150 * B * nel * nel),
+            bytes_accessed=int(3 * 4 * B * n * n),
+            transcendentals=0),
+    )(u_p, nu_p)
+    return out[:, :n]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def poisson_stiffness_action(u, nu, basis: FEMBasis, tile_y: int = 128):
+    """Ku = assembled ∫ nu grad(N_i)·grad(u): [B, n, n] -> [B, n, n]."""
+    return _stiffness_fwd_impl(u, nu, basis, tile_y)
+
+
+def _fwd(u, nu, basis, tile_y):
+    return _stiffness_fwd_impl(u, nu, basis, tile_y), (u, nu)
+
+
+def _bwd(basis, tile_y, res, g):
+    u, nu = res
+    # self-adjoint in u: dL/du = K(nu) g  (same fused kernel)
+    du = _stiffness_fwd_impl(g, nu, basis, tile_y)
+    # d/d(nu): assembled N-projection of grad u · grad g
+    gu = fem.gp_eval(u, basis, ("dx", "dy"))
+    gg = fem.gp_eval(g, basis, ("dx", "dy"))
+    integrand = gu["dx"] * gg["dx"] + gu["dy"] * gg["dy"]
+    dnu = fem.galerkin_project(integrand, basis, "N", u.shape[-2:])
+    return du, dnu
+
+
+poisson_stiffness_action.defvjp(_fwd, _bwd)
+
+
+def poisson_residual_fused(u, nu, Nf, bc_mask, basis: FEMBasis,
+                           tile_y: int = 128):
+    """Full assembled, Dirichlet-masked residual  R = K(nu) u - Nf.
+
+    `Nf` is the preassembled load vector ∫ N_i f (constant during training;
+    build once with ``fem.galerkin_project(f_gp, basis, "N", shape)``).
+    Matches `poisson_resmin_residual` to round-off (pinned by tests)."""
+    R = poisson_stiffness_action(u, nu, basis, tile_y) - Nf
+    return jnp.where(bc_mask > 0.5, jnp.zeros_like(R), R)

@@ -43,16 +43,13 @@ class AdvDiff2D(FEM2DModule):
         nu, tau = self.diffusivity, self.tau
         gp = self.gp_all(u, ("dx", "dy"))
         a_grad_u = ax * gp["dx"] + ay * gp["dy"]
-        # lhs terms: advection (vs N), diffusion (vs dN), SUPG (vs a·dN)
-        R = (self.assemble(a_grad_u, "N")
-             + nu * (self.assemble(gp["dx"], "dx")
-                     + self.assemble(gp["dy"], "dy"))
-             + tau * (ax * self.assemble(a_grad_u, "dx")
-                      + ay * self.assemble(a_grad_u, "dy")))
-        # rhs with SUPG-weighted test function
-        R = R - (self.assemble(f_gp, "N")
-                 + tau * (ax * self.assemble(f_gp, "dx")
-                          + ay * self.assemble(f_gp, "dy")))
+        # advection (vs N), diffusion (vs dN), SUPG (vs a·dN), and the
+        # SUPG-weighted rhs — all in one fused projection
+        f_b = jnp.broadcast_to(f_gp, a_grad_u.shape)
+        R = self.assemble_multi([
+            (a_grad_u - f_b, "N"),
+            (nu * gp["dx"] + tau * ax * (a_grad_u - f_b), "dx"),
+            (nu * gp["dy"] + tau * ay * (a_grad_u - f_b), "dy")])
         R = jnp.where(bc1 > 0.5, jnp.zeros_like(R), R)
         R = jnp.where(bc2 > 0.5, jnp.zeros_like(R), R)
         return R

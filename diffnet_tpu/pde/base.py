@@ -190,6 +190,13 @@ class _FEMMixin:
         return fem.galerkin_project(integrand_gp, self.basis, quantity,
                                     self.node_shape, apply_jxw=apply_jxw)
 
+    def assemble_multi(self, integrands, apply_jxw=True):
+        """Assemble a sum of weak-form terms in one matmul + one scatter;
+        `integrands` is a sequence of (gp_integrand, quantity) pairs."""
+        return fem.galerkin_project_multi(integrands, self.basis,
+                                          self.node_shape,
+                                          apply_jxw=apply_jxw)
+
     def jxw_c(self, dtype=jnp.float32):
         """JxW as a jnp constant [ngp_total]."""
         return jnp.asarray(self.jxw, dtype)

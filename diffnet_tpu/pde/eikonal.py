@@ -48,9 +48,10 @@ class Eikonal2D(FEM2DModule):
         tau = self.tau
         gp = self.gp_all(u, ("N", "dx", "dy"))
         grad2 = gp["dx"] ** 2 + gp["dy"] ** 2
-        R = (tau * (self.assemble(gp["N"] * gp["dx"], "dx")
-                    + self.assemble(gp["N"] * gp["dy"], "dy"))
-             + (1.0 + tau) * self.assemble(grad2 - 1.0, "N"))
+        R = self.assemble_multi([
+            (tau * gp["N"] * gp["dx"], "dx"),
+            (tau * gp["N"] * gp["dy"], "dy"),
+            ((1.0 + tau) * (grad2 - 1.0), "N")])
         return R
 
     def loss(self, u, cloud, forcing_tensor):

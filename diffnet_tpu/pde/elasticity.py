@@ -64,12 +64,9 @@ class ElasticFSDT(FEM2DModule):
         M_xy = self.D_66 * (pxgp["dy"] + pygp["dx"])
         q = jnp.full_like(wgp["N"], self.q_load)
 
-        R1 = (self.assemble(Q_x, "dx") + self.assemble(Q_y, "dy")
-              - self.assemble(q, "N"))
-        R2 = (self.assemble(M_xx, "dx") + self.assemble(M_xy, "dy")
-              + self.assemble(Q_x, "N"))
-        R3 = (self.assemble(M_xy, "dx") + self.assemble(M_yy, "dy")
-              + self.assemble(Q_y, "N"))
+        R1 = self.assemble_multi([(Q_x, "dx"), (Q_y, "dy"), (-q, "N")])
+        R2 = self.assemble_multi([(M_xx, "dx"), (M_xy, "dy"), (Q_x, "N")])
+        R3 = self.assemble_multi([(M_xy, "dx"), (M_yy, "dy"), (Q_y, "N")])
         z = jnp.zeros_like(R1)
         return (jnp.where(bc2 > 0.5, z, R1), jnp.where(bc2 > 0.5, z, R2),
                 jnp.where(bc2 > 0.5, z, R3))

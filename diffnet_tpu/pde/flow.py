@@ -108,15 +108,16 @@ class StokesNSBase(FEM2DModule):
 
         if self.eq_type == "stokes":
             # PSPG-stabilized Stokes (e1_stokes_mms_resmin.py:159-198)
-            R1 = (visco * (self.assemble(u_x, "dx")
-                           + self.assemble(u_y, "dy"))
-                  - self.assemble(p, "dx") - self.assemble(f1, "N"))
-            R2 = (visco * (self.assemble(v_x, "dx")
-                           + self.assemble(v_y, "dy"))
-                  - self.assemble(p, "dy") - self.assemble(f2, "N"))
-            R3 = (self.assemble(divergence, "N")
-                  + self.pspg_param * (self.assemble(p_x, "dx")
-                                       + self.assemble(p_y, "dy")))
+            ones = jnp.ones_like(u)
+            R1 = self.assemble_multi([
+                (visco * u_x, "dx"), (visco * u_y, "dy"),
+                (-p, "dx"), (-f1 * ones, "N")])
+            R2 = self.assemble_multi([
+                (visco * v_x, "dx"), (visco * v_y, "dy"),
+                (-p, "dy"), (-f2 * ones, "N")])
+            R3 = self.assemble_multi([
+                (divergence, "N"), (self.pspg_param * p_x, "dx"),
+                (self.pspg_param * p_y, "dy")])
         else:
             # full VMS NS (e1_ns_ldc_resmin.py:248-300)
             lap1 = ugp["d2x"] + ugp["d2y"]
@@ -127,34 +128,24 @@ class StokesNSBase(FEM2DModule):
             res2 = adv2 - visco * lap2 + p_y - f2
             taum, tauc = calc_tau(self.h, u, v, visco)
 
-            # momentum-x: Galerkin + VMS terms, each projected on its test fn
-            R1 = (self.assemble(adv1 - f1, "N")
-                  + visco * (self.assemble(u_x, "dx")
-                             + self.assemble(u_y, "dy"))
-                  - self.assemble(p, "dx")
-                  # cross term 1: (u·grad W) tau res
-                  + self.assemble(taum * u * res1, "dx")
-                  + self.assemble(taum * v * res1, "dy")
-                  # cross term 2: -W tau (res·grad U)
-                  - self.assemble(taum * (res1 * u_x + res2 * u_y), "N")
-                  # Reynolds stress: -tau^2 res (res·grad W)
-                  - self.assemble(taum**2 * res1 * res1, "dx")
-                  - self.assemble(taum**2 * res1 * res2, "dy")
-                  # grad-div
-                  + self.assemble(tauc * divergence, "dx"))
-            R2 = (self.assemble(adv2 - f2, "N")
-                  + visco * (self.assemble(v_x, "dx")
-                             + self.assemble(v_y, "dy"))
-                  - self.assemble(p, "dy")
-                  + self.assemble(taum * u * res2, "dx")
-                  + self.assemble(taum * v * res2, "dy")
-                  - self.assemble(taum * (res1 * v_x + res2 * v_y), "N")
-                  - self.assemble(taum**2 * res2 * res1, "dx")
-                  - self.assemble(taum**2 * res2 * res2, "dy")
-                  + self.assemble(tauc * divergence, "dy"))
-            R3 = (self.assemble(divergence, "N")
-                  + self.assemble(taum * res1, "dx")
-                  + self.assemble(taum * res2, "dy"))
+            # momentum-x: Galerkin + VMS terms (cross term 1 (u·grad W) tau
+            # res, cross term 2 -W tau (res·grad U), Reynolds stress
+            # -tau^2 res (res·grad W), grad-div), each fused into one
+            # projection matmul + scatter per residual
+            R1 = self.assemble_multi([
+                (adv1 - f1 - taum * (res1 * u_x + res2 * u_y), "N"),
+                (visco * u_x - p + taum * u * res1
+                 - taum**2 * res1 * res1 + tauc * divergence, "dx"),
+                (visco * u_y + taum * v * res1
+                 - taum**2 * res1 * res2, "dy")])
+            R2 = self.assemble_multi([
+                (adv2 - f2 - taum * (res1 * v_x + res2 * v_y), "N"),
+                (visco * v_x + taum * u * res2
+                 - taum**2 * res2 * res1, "dx"),
+                (visco * v_y - p + taum * v * res2
+                 - taum**2 * res2 * res2 + tauc * divergence, "dy")])
+            R3 = self.assemble_multi([
+                (divergence, "N"), (taum * res1, "dx"), (taum * res2, "dy")])
 
         R1 = jnp.where(bc1 > 0.5, jnp.zeros_like(R1), R1)
         R2 = jnp.where(bc2 > 0.5, jnp.zeros_like(R2), R2)

@@ -26,9 +26,9 @@ class Helmholtz2D(FEM2DModule):
 
     def residual(self, u, f_gp, bc2):
         gp = self.gp_all(u, ("N", "dx", "dy"))
-        R = (self.assemble(gp["dx"], "dx") + self.assemble(gp["dy"], "dy")
-             - self.khh**2 * self.assemble(gp["N"], "N")
-             - self.assemble(f_gp, "N"))
+        R = self.assemble_multi([
+            (gp["dx"], "dx"), (gp["dy"], "dy"),
+            (-self.khh**2 * gp["N"] - f_gp, "N")])
         return jnp.where(bc2 > 0.5, jnp.zeros_like(R), R)
 
     def loss(self, u, inputs_tensor, forcing_tensor):

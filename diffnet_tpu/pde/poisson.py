@@ -59,11 +59,8 @@ def poisson_resmin_residual(module, u, nu_gp, f_gp, bc_mask):
     Dirichlet rows zeroed (reference e8_2d_poisson_mms.py:122-141)."""
     quants = ("dx", "dy") + (("dz",) if module.nsd == 3 else ())
     gp = module.gp_all(u, quants)
-    R = module.assemble(nu_gp * gp["dx"], "dx") + module.assemble(
-        nu_gp * gp["dy"], "dy")
-    if module.nsd == 3:
-        R = R + module.assemble(nu_gp * gp["dz"], "dz")
-    R = R - module.assemble(f_gp, "N")
+    terms = [(nu_gp * gp[q], q) for q in quants] + [(-f_gp, "N")]
+    R = module.assemble_multi(terms)
     return jnp.where(bc_mask > 0.5, jnp.zeros_like(R), R)
 
 

@@ -47,10 +47,11 @@ class SpaceTimeHeat(FEM2DModule):
     def residual(self, u, f_gp, bc1, bc2):
         nu, tau = self.diffusivity, self.tau
         gp = self.gp_all(u, ("dx", "dy"))  # dy == d/dt
-        R = (self.assemble(gp["dy"], "N")
-             + nu * self.assemble(gp["dx"], "dx")
-             + tau * self.assemble(gp["dy"], "dy"))
-        R = R - (self.assemble(f_gp, "N") + tau * self.assemble(f_gp, "dy"))
+        f_b = jnp.broadcast_to(f_gp, gp["dy"].shape)
+        R = self.assemble_multi([
+            (gp["dy"] - f_b, "N"),
+            (nu * gp["dx"], "dx"),
+            (tau * (gp["dy"] - f_b), "dy")])
         R = jnp.where(bc2 > 0.5, jnp.zeros_like(R), R)
         R = jnp.where(bc1 > 0.5, jnp.zeros_like(R), R)
         return R
@@ -98,10 +99,10 @@ class AllenCahnIceMelt(FEM2DModule):
         D, Cn = self.ac_D, self.ac_Cn
         gp = self.gp_all(u, ("N", "dx", "dy"))
         G_gp = self.calcG(gp["N"])
-        R = (self.assemble(gp["dy"], "N")                     # u_t vs N
-             + D * Cn**2 * (self.assemble(gp["dx"], "dx")
-                            + self.assemble(gp["dy"], "dy"))
-             + D * self.assemble(G_gp, "N"))
+        R = self.assemble_multi([
+            (gp["dy"] + D * G_gp, "N"),
+            (D * Cn**2 * gp["dx"], "dx"),
+            (D * Cn**2 * gp["dy"], "dy")])
         R = jnp.where(bc1 > 0.5, jnp.zeros_like(R), R)
         R = jnp.where(bc2 > 0.5, jnp.zeros_like(R), R)
         return R
