@@ -262,6 +262,32 @@ def gp_coords(basis: FEMBasis, node_shape: Sequence[int],
     return tuple(o.astype(np.float64) for o in out)
 
 
+def gp_eval_1d(u_line: jax.Array, basis: FEMBasis,
+               quantities: Sequence[str] = ("N",)) -> dict[str, jax.Array]:
+    """Surface-trace evaluation: 1D Gauss-point values of a nodal LINE
+    (a row/column of a 2D field, or an edge of a 3D field) using the facet
+    tables (reference gauss_pt_evaluation_surf, DiffNetFEM.py:146-147).
+
+    u_line: [..., n] -> quantity -> [..., nel_1d, ngp_1d].
+    """
+    deg = basis.deg
+    nbf = deg + 1
+    n = u_line.shape[-1]
+    nel = (n - 1) // deg
+    pieces = [u_line[..., o:o + (nel - 1) * deg + 1:deg] for o in range(nbf)]
+    patches = jnp.stack(pieces, axis=-1)  # [..., nel, nbf]
+    table = np.concatenate([basis.surf_tables[q] for q in quantities], axis=0)
+    t = jnp.asarray(table, u_line.dtype)  # [nq*ngp_1d, nbf]
+    out = jax.lax.dot_general(
+        patches, t,
+        dimension_numbers=(((patches.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(u_line.dtype)
+    out = out.reshape(out.shape[:-1] + (len(quantities), basis.ngp_1d))
+    return {q: out[..., i, :] for i, q in enumerate(quantities)}
+
+
 def dirichlet_zero_rows(R: jax.Array, bc_mask: jax.Array) -> jax.Array:
     """Zero residual entries on Dirichlet nodes (bc_mask > 0.5), matching the
     reference's post-assembly masking (e.g. examples/poisson/single_instance/

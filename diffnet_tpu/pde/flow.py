@@ -152,6 +152,18 @@ class StokesNSBase(FEM2DModule):
         R3 = jnp.where(bc3 > 0.5, jnp.zeros_like(R3), R3)
         return R1, R2, R3
 
+    # -- alternating-optimizer protocol (reference optimizer_idx,
+    #    e1_ns_ldc_resmin.py:323-345): one objective per field residual ----
+    num_objectives = 3
+
+    def objective_loss(self, idx, params, batch):
+        inputs_tensor, forcing_tensor = batch[0], batch[1]
+        pred = self.network.apply(params, inputs_tensor)
+        R = self.calc_residuals(pred, inputs_tensor, forcing_tensor)[idx]
+        if self.loss_norm == "squared":
+            return jnp.sum(R**2)
+        return jnp.sqrt(jnp.sum(R**2) + 1e-12)
+
     def loss(self, pred, inputs_tensor, forcing_tensor):
         R1, R2, R3 = self.calc_residuals(pred, inputs_tensor, forcing_tensor)
         if self.loss_norm == "squared":

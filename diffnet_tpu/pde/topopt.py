@@ -77,6 +77,14 @@ class TopOpt2D(FEM2DModule):
         f = _squeeze_field(forcing_tensor)
         return u, nu, bc1, bc2, f
 
+    # alternating-optimizer protocol (reference 16_topopt.py:226-260)
+    num_objectives = 3
+
+    def objective_loss(self, idx, params, batch):
+        inputs_tensor, forcing_tensor = batch
+        pred = self.network.apply(params, inputs_tensor)
+        return self.objective(idx, pred, inputs_tensor, forcing_tensor)
+
     def objective(self, idx, pred, inputs_tensor, forcing_tensor):
         u, nu, bc1, bc2, f = self._unpack(pred, inputs_tensor, forcing_tensor)
         if idx == 0:

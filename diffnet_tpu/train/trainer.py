@@ -118,16 +118,23 @@ class CSVLogger:
             w.writerow(metrics)
 
 
-def _make_optimizer(name_or_opt, learning_rate, lbfgs_max_iter):
+def _make_optimizer(name_or_opt, learning_rate, lbfgs_max_iter,
+                    lr_milestones=None, lr_gamma=0.1):
     if isinstance(name_or_opt, optax.GradientTransformation) or (
         hasattr(name_or_opt, "init") and hasattr(name_or_opt, "update")
     ):
         return name_or_opt, False
     name = str(name_or_opt).lower()
+    lr = learning_rate
+    if lr_milestones:
+        # MultiStepLR equivalent (reference MultiStepLR(milestones=[...],
+        # gamma=0.1), IBN_2D.py:167)
+        lr = optax.piecewise_constant_schedule(
+            learning_rate, {int(m): lr_gamma for m in lr_milestones})
     if name == "adam":
-        return optax.adam(learning_rate), False
+        return optax.adam(lr), False
     if name == "sgd":
-        return optax.sgd(learning_rate), False
+        return optax.sgd(lr), False
     if name == "lbfgs":
         # zoom linesearch, lr=1.0 — the optax analogue of
         # torch.optim.LBFGS(lr=1.0, max_iter=k) closures
@@ -155,11 +162,23 @@ class Trainer:
                  learning_rate: float | None = None, lbfgs_max_iter: int = 5,
                  callbacks: Sequence[Callback] = (), run_dir: str | None = None,
                  log_every: int = 1, checkpoint: bool = False,
-                 fast_dev_run: bool = False, seed: int = 42):
+                 fast_dev_run: bool = False, seed: int = 42,
+                 lr_milestones: Sequence[int] | None = None,
+                 lr_gamma: float = 0.1, round_robin: bool = False,
+                 profile_dir: str | None = None):
         self.max_epochs = 1 if fast_dev_run else max_epochs
         self.optimizer_spec = optimizer
         self.learning_rate = learning_rate
         self.lbfgs_max_iter = lbfgs_max_iter
+        self.lr_milestones = lr_milestones
+        self.lr_gamma = lr_gamma
+        # alternating per-objective updates (the reference's Lightning
+        # optimizer_idx protocol, e1_ns_ldc_resmin.py:323-345): the module
+        # must expose num_objectives and objective_loss(idx, params, batch)
+        self.round_robin = round_robin
+        # jax.profiler trace dir (reference profiler=True Lightning hook,
+        # 0_base.py:113)
+        self.profile_dir = profile_dir
         self.callbacks = list(callbacks)
         self.run_dir = run_dir
         self.logger = CSVLogger(run_dir) if run_dir else None
@@ -221,7 +240,8 @@ class Trainer:
 
         lr = self.learning_rate or getattr(module, "learning_rate", 3e-4)
         opt, is_lbfgs = _make_optimizer(self.optimizer_spec, lr,
-                                        self.lbfgs_max_iter)
+                                        self.lbfgs_max_iter,
+                                        self.lr_milestones, self.lr_gamma)
 
         first_batch = next(iter(dataloader))
         first_batch = jax.tree.map(jnp.asarray, first_batch)
@@ -229,7 +249,22 @@ class Trainer:
             params = module.init_params(jax.random.key(self.seed), first_batch)
         state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
 
-        step_fn = self._build_step(module, opt, is_lbfgs)
+        if self.round_robin:
+            n_obj = module.num_objectives
+            step_fns = [self._build_objective_step(module, opt, i)
+                        for i in range(n_obj)]
+            rr_counter = [0]
+
+            def step_fn(state, batch):
+                i = rr_counter[0] % n_obj
+                rr_counter[0] += 1
+                return step_fns[i](state, batch)
+        else:
+            step_fn = self._build_step(module, opt, is_lbfgs)
+
+        if self.profile_dir:
+            import jax.profiler as _prof
+            _prof.start_trace(self.profile_dir)
 
         for cb in self.callbacks:
             cb.on_train_start(self, module, state)
@@ -262,7 +297,26 @@ class Trainer:
             if self.should_stop:
                 break
 
+        if self.profile_dir:
+            import jax.profiler as _prof
+            jax.block_until_ready(state.params)
+            _prof.stop_trace()
         for cb in self.callbacks:
             cb.on_train_end(self, module, state)
         self.state = state
         return state
+
+    def _build_objective_step(self, module, opt, obj_idx: int):
+        """Per-objective update (reference optimizer_idx round-robin)."""
+
+        def loss_fn(params, batch):
+            return module.objective_loss(obj_idx, params, batch)
+
+        def step(state: TrainState, batch):
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+            updates, opt_state = opt.update(grads, state.opt_state,
+                                            state.params)
+            params = optax.apply_updates(state.params, updates)
+            return TrainState(params, opt_state, state.step + 1), loss
+
+        return jax.jit(step)
