@@ -300,6 +300,75 @@ class GoodNetwork(nn.Module):
         return out
 
 
+class _GatedResBlock(nn.Module):
+    """Gated/plain residual block with optional dilation (reference
+    unets.py:89-143; the reference's ``gated_resnet`` has a NameError on
+    ``gated`` at unets.py:96 — fixed here)."""
+
+    features: int
+    gated: bool = True
+    dilation: int = 1
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = 2 * self.features if self.gated else self.features
+        h = nn.Conv(hidden, (3, 3), padding="SAME",
+                    kernel_dilation=(self.dilation,) * 2)(x)
+        h = nn.GroupNorm(num_groups=min(8, hidden))(h)
+        h = nn.relu(h)
+        if self.dropout:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Conv(hidden, (3, 3), padding="SAME",
+                    kernel_dilation=(self.dilation,) * 2)(h)
+        if self.gated:
+            a, b = jnp.split(h, 2, axis=-1)
+            h = a * nn.sigmoid(b)
+        out = x + h
+        return nn.relu(nn.GroupNorm(num_groups=min(8, self.features))(out))
+
+
+class UNetRes(nn.Module):
+    """Residual U-Net: res-block encoder stages (stride-2 transitions),
+    dilated-conv bottleneck, decoder with skip mergers
+    (reference UNetRes + ConvolutionalEncoder/Decoder + DilatedConvolutions,
+    unets.py:145-333). GroupNorm in place of Batch/GroupNorm switch."""
+
+    out_channels: int = 1
+    hidden: tuple[int, ...] = (32, 64, 128)
+    n_resblocks: int = 2
+    n_dilated: int = 3
+    gated: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = nn.Conv(self.hidden[0], (3, 3), padding="SAME")(x)
+        skips = []
+        for i, f in enumerate(self.hidden):
+            for _ in range(self.n_resblocks):
+                h = _GatedResBlock(f, gated=self.gated)(h, train)
+            skips.append(h)
+            if i < len(self.hidden) - 1:
+                h = nn.Conv(self.hidden[i + 1], (4, 4), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))(h)
+        # dilated bottleneck with skip sum (DilatedConvolutions, unets.py:282+)
+        d_sum = h
+        for k in range(self.n_dilated):
+            h = nn.Conv(self.hidden[-1], (3, 3), padding="SAME",
+                        kernel_dilation=(2**(k + 1),) * 2)(h)
+            h = nn.relu(nn.GroupNorm(num_groups=8)(h))
+            d_sum = d_sum + h
+        h = d_sum
+        for i in reversed(range(len(self.hidden) - 1)):
+            h = nn.ConvTranspose(self.hidden[i], (4, 4), strides=(2, 2),
+                                 padding="SAME")(h)
+            h = jnp.concatenate([h, skips[i]], axis=-1)
+            h = nn.Conv(self.hidden[i], (3, 3), padding="SAME")(h)
+            for _ in range(self.n_resblocks):
+                h = _GatedResBlock(self.hidden[i], gated=self.gated)(h, train)
+        return nn.Conv(self.out_channels, (3, 3), padding="SAME")(h)
+
+
 class ImplicitConv(nn.Module):
     """10-layer 1x1-conv coordinate-style MLP over pixels with InstanceNorm +
     LeakyReLU, tanh head (reference conv11.py:8-27)."""

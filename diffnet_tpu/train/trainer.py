@@ -118,6 +118,25 @@ class CSVLogger:
             w.writerow(metrics)
 
 
+class TensorBoardLogger:
+    """Optional TB scalars next to the CSV (the reference runs dual
+    TensorBoardLogger + CSVLogger, 0_base.py:102-103)."""
+
+    def __init__(self, run_dir: str):
+        from torch.utils.tensorboard import SummaryWriter  # cpu torch ships
+
+        self.writer = SummaryWriter(run_dir)
+
+    def log(self, metrics: dict):
+        step = int(metrics.get("epoch", 0))
+        for k, v in metrics.items():
+            if isinstance(v, (int, float)) and k != "epoch":
+                self.writer.add_scalar(k, v, step)
+
+    def close(self):
+        self.writer.close()
+
+
 def _make_optimizer(name_or_opt, learning_rate, lbfgs_max_iter,
                     lr_milestones=None, lr_gamma=0.1):
     if isinstance(name_or_opt, optax.GradientTransformation) or (
