@@ -54,9 +54,9 @@ def main():
     def residual_fused(u, nu, f_gp):
         gp = fem.gp_eval(u, basis, ("dx", "dy"))
         nu_gp = fem.gp_eval(nu, basis, ("N",))["N"]
-        R = (fem.galerkin_project(nu_gp * gp["dx"], basis, "dx", (n, n))
-             + fem.galerkin_project(nu_gp * gp["dy"], basis, "dy", (n, n))
-             - fem.galerkin_project(f_gp, basis, "N", (n, n)))
+        R = fem.galerkin_project_multi(
+            [(nu_gp * gp["dx"], "dx"), (nu_gp * gp["dy"], "dy"),
+             (-f_gp, "N")], basis, (n, n))
         return jnp.where(bc > 0.5, 0.0, R)
 
     # reference-algorithm port: one conv per gauss point per quantity

@@ -13,4 +13,6 @@ time python examples/ns_ldc.py            --domain-size 32 --max-epochs 100 --ou
 time python examples/eikonal_reconstruction.py --domain-size 32 --max-epochs 150 --out-dir "$OUT"
 time python examples/poisson_ibn_parametric.py -b 16 --n-samples 32 --max-epochs 2 --out-dir "$OUT"
 time python examples/klsum_uq.py          --n-train 32 --n-query 64 --max-epochs 3 --out-dir "$OUT"
+
+time python examples/more_physics.py helmholtz --domain-size 32 --max-epochs 60 --out-dir "$OUT"
 echo "ALL EXAMPLES OK"

@@ -1,0 +1,53 @@
+"""NS flow past an embedded object (the parametric FPC/airfoil workload,
+reference e2_ns_fpc_embedded_airfoil.py) with a synthetic obstacle."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from diffnet_tpu.data.flow import FlowPastObjectDataset
+from diffnet_tpu.pde.flow import NavierStokes
+from diffnet_tpu.train.trainer import Trainer
+
+
+class TripleField:
+    def __init__(self, shape):
+        self.shape = tuple(shape)
+
+    def init(self, rng, sample=None):
+        z = jnp.zeros(self.shape)
+        return {"u": z, "v": z, "p": z}
+
+    def apply(self, params, inputs=None):
+        b = 1 if inputs is None else inputs.shape[0]
+        f = lambda k: jnp.broadcast_to(params[k][None], (b,) + self.shape)
+        return f("u"), f("v"), f("p")
+
+
+def test_flow_past_cylinder():
+    ny, nx = 24, 48
+    x = np.linspace(0, 4, nx)
+    y = np.linspace(0, 1, ny)
+    xx, yy = np.meshgrid(x, y)
+    chi = (((xx - 1.0) ** 2 + (yy - 0.5) ** 2) < 0.15**2).astype(float)
+    ds = FlowPastObjectDataset(chi, domain_lengths=(4.0, 1.0), Re=50)
+    ds.n_samples = 1
+    m = NavierStokes(
+        TripleField((ny, nx)), ds, domain_lengths=(4.0, 1.0),
+        domain_sizes=(nx, ny), batch_size=1, Re=50,
+        u_bc=ds.u_bc, loss_norm="squared")
+    batch = (jnp.asarray(ds[0][0])[None], jnp.asarray(ds[0][1])[None])
+    net = m.network
+    loss0 = float(m.training_loss(net.init(None), batch))
+    tr = Trainer(max_epochs=120, optimizer="lbfgs", lbfgs_max_iter=10)
+    st = tr.fit(m)
+    loss1 = float(m.training_loss(st.params, batch))
+    assert loss1 < 0.2 * loss0, (loss0, loss1)
+
+    u, v, p = m.apply_bcs(net.apply(st.params, batch[0]), batch[0])
+    u = np.asarray(u)[0]
+    # inlet parabolic profile honored
+    np.testing.assert_allclose(u[:, 0], np.asarray(ds.u_bc)[:, 0], atol=1e-5)
+    # no-slip on the obstacle
+    assert np.abs(u[chi > 0.5]).max() < 1e-5
+    # flow accelerates around the obstacle: some u exceeds the inlet peak
+    assert u.max() > np.asarray(ds.u_bc)[:, 0].max() * 1.02
