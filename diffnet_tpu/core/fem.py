@@ -262,6 +262,28 @@ def gp_coords(basis: FEMBasis, node_shape: Sequence[int],
     return tuple(o.astype(np.float64) for o in out)
 
 
+def element_matvec(u: jax.Array, K_elem: np.ndarray, deg: int, nsd: int,
+                   node_shape: Sequence[int]) -> jax.Array:
+    """Assembled matvec with a constant element matrix:
+    R = sum_e scatter(K_elem @ u_e).
+
+    The reference precomputes per-test-function 2x2 conv kernels from an
+    element stiffness Kmx and applies them as convolutions
+    (``stiffness_vs_values_conv``, examples/poisson/single_instance/
+    e2_manufactured_resmin.py:27-36,285); here it is one patch-gather, one
+    [nbf, nbf] matmul, one scatter.
+    """
+    patches = gather_elements(u, deg, nsd)  # [..., nel*, nbf]
+    K = jnp.asarray(np.asarray(K_elem), u.dtype)
+    r_elem = jax.lax.dot_general(
+        patches, K,
+        dimension_numbers=(((patches.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(u.dtype)
+    return scatter_elements(r_elem, deg, nsd, node_shape)
+
+
 def gp_eval_1d(u_line: jax.Array, basis: FEMBasis,
                quantities: Sequence[str] = ("N",)) -> dict[str, jax.Array]:
     """Surface-trace evaluation: 1D Gauss-point values of a nodal LINE

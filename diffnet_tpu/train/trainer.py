@@ -246,10 +246,11 @@ class Trainer:
         return jax.jit(step)
 
     # -- fit --------------------------------------------------------------
-    def fit(self, module, dataloader=None, params=None):
+    def fit(self, module, dataloader=None, params=None, val_dataloader=None):
         """Train `module`. If `dataloader` is None, build one from
         `module.dataset` (supports both reference API generations,
-        SURVEY.md §1)."""
+        SURVEY.md §1). `val_dataloader` adds a per-epoch val_loss metric
+        (reference validation_step, IBN_2D.py:156-160)."""
         if dataloader is None:
             if module.dataset is None:
                 raise ValueError("no dataloader given and module.dataset is None")
@@ -303,6 +304,14 @@ class Trainer:
             self.epoch_times.append(dt)
             metrics = {"epoch": epoch, "loss": epoch_loss, "PDE_loss": epoch_loss,
                        "time_sec": dt}
+            if val_dataloader is not None:
+                val_fn = getattr(self, "_val_fn", None)
+                if val_fn is None:
+                    val_fn = jax.jit(module.training_loss)
+                    self._val_fn = val_fn
+                vlosses = [val_fn(state.params, jax.tree.map(jnp.asarray, b))
+                           for b in val_dataloader]
+                metrics["val_loss"] = float(jnp.mean(jnp.stack(vlosses)))
             if self.logger and epoch % self.log_every == 0:
                 self.logger.log(metrics)
             if self.checkpoint:

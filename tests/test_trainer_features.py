@@ -125,3 +125,60 @@ def test_winding_3d_sphere():
         jnp.asarray(pts, jnp.float32)[None], jnp.asarray(nrm, jnp.float32)[None],
         jnp.asarray(area, jnp.float32)[None], q, chunk=4))[0]
     assert w[0] > 0.9 and w[2] > 0.9 and abs(w[1]) < 0.1
+
+
+def test_element_matvec_matches_dense():
+    """element_matvec reproduces the reference stiffness_vs_values_conv
+    pattern: matches assembled dense element-matrix application."""
+    n = 9
+    deg = 1
+    rng = np.random.default_rng(0)
+    K = rng.standard_normal((4, 4)).astype(np.float32)
+    u = rng.standard_normal((1, n, n)).astype(np.float32)
+    R = np.asarray(fem.element_matvec(jnp.asarray(u), K, deg, 2, (n, n)))[0]
+    # dense reference
+    Rd = np.zeros((n, n))
+    for ey in range(n - 1):
+        for ex in range(n - 1):
+            ue = np.array([u[0, ey, ex], u[0, ey, ex + 1],
+                           u[0, ey + 1, ex], u[0, ey + 1, ex + 1]])
+            re = K @ ue
+            Rd[ey, ex] += re[0]
+            Rd[ey, ex + 1] += re[1]
+            Rd[ey + 1, ex] += re[2]
+            Rd[ey + 1, ex + 1] += re[3]
+    np.testing.assert_allclose(R, Rd, atol=1e-5)
+
+
+def test_validation_loop():
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+
+    class Quad:
+        dataset = None
+        batch_size = 1
+        learning_rate = 0.1
+
+        class Net:
+            def init(self, rng, x):
+                return {"w": jnp.asarray(3.0)}
+
+            def apply(self, params, x):
+                return params
+
+        network = Net()
+
+        def init_params(self, rng, batch):
+            return self.network.init(rng, None)
+
+        def training_loss(self, params, batch):
+            return params["w"] ** 2
+
+    ds = InMemoryDataset(np.zeros((1, 1), np.float32),
+                         np.zeros((1, 1), np.float32))
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        tr = Trainer(max_epochs=3, optimizer="sgd", learning_rate=0.1,
+                     run_dir=d)
+        tr.fit(Quad(), NumpyLoader(ds, 1), val_dataloader=NumpyLoader(ds, 1))
+        header = open(os.path.join(d, "metrics.csv")).readline()
+        assert "val_loss" in header
