@@ -43,8 +43,8 @@ def main():
     from diffnet_tpu.core import fem
     from diffnet_tpu.core.quadrature import make_basis
 
-    n = 512
-    bs = 8
+    n = int(os.environ.get("DIFFNET_BENCH_SIZE", "512"))
+    bs = int(os.environ.get("DIFFNET_BENCH_BATCH", "8"))
     h = 1.0 / (n - 1)
     basis = make_basis(2, 1, h=(h, h))
     rng = np.random.default_rng(0)
@@ -101,7 +101,61 @@ def main():
         "unit": "elem/s",
         "vs_baseline": float(f"{t_ref / t_fused:.4g}"),
     }
+    # supplementary metrics from BASELINE.json ("training steps/sec; final
+    # L2 error") — proven code paths only
+    try:
+        if not os.environ.get("DIFFNET_BENCH_PRIMARY_ONLY"):
+            result.update(_supplementary())
+    except Exception as e:  # keep the primary metric robust
+        result["supplementary_error"] = str(e)[:200]
     print(json.dumps(result))
+
+
+def _supplementary():
+    import jax
+    import jax.numpy as jnp
+
+    from diffnet_tpu.data.loader import NumpyLoader
+    from diffnet_tpu.data.parametric import SyntheticPointClouds
+    from diffnet_tpu.data.single_instances import RectangleManufactured
+    from diffnet_tpu.models.field import DirectField
+    from diffnet_tpu.models.networks import AE
+    from diffnet_tpu.pde.ibn import IBNPoisson2D
+    from diffnet_tpu.pde.poisson import Poisson2D
+    from diffnet_tpu.train.trainer import Trainer
+
+    out = {}
+    # flagship IBN training steps/sec (reference config scale: 32^2, AE,
+    # bs=512 — IBN_2D.py:174-216)
+    bs = 512
+    ds = SyntheticPointClouds(n_samples=2 * bs, n_points=120, domain_size=32)
+    loader = NumpyLoader(ds, batch_size=bs, shuffle=False)
+    net = AE(out_channels=1, dims=8, n_downsample=2)
+    module = IBNPoisson2D(net, domain_size=32, batch_size=bs)
+    tr = Trainer(max_epochs=1, optimizer="adam", learning_rate=3e-4)
+    tr.fit(module, loader)  # compile + warm
+    t0 = time.perf_counter()
+    n_steps = 0
+    for _ in range(5):
+        tr2_state = tr.fit(module, loader, params=tr.state.params)
+        n_steps += len(loader)
+    dt = time.perf_counter() - t0
+    out["ibn32_train_steps_per_sec"] = float(f"{n_steps / dt:.4g}")
+
+    # final L2 error, Poisson 64^2 MMS resmin + LBFGS (reference acceptance)
+    n = 64
+    exact = lambda x, y: np.sin(np.pi * x) * np.sin(np.pi * y)
+    forcing = lambda x, y: 2 * np.pi**2 * np.sin(np.pi * x) * np.sin(
+        np.pi * y)
+    dsm = RectangleManufactured(domain_size=n)
+    dsm.n_samples = 1
+    m = Poisson2D(DirectField((n, n), init=np.zeros((n, n))), dsm,
+                  domain_size=n, batch_size=1, loss_type="resmin",
+                  exact_solution=exact, forcing=forcing, mms_dirichlet=True)
+    st = Trainer(max_epochs=80, optimizer="lbfgs", lbfgs_max_iter=10).fit(m)
+    eL2, _, uex = m.calc_l2_err(m.network.apply(st.params)[0])
+    out["poisson64_final_rel_l2"] = float(f"{float(eL2 / uex):.4g}")
+    return out
 
 
 def _guarded():
