@@ -210,6 +210,43 @@ class NavierStokes(StokesNSBase):
         super().__init__(network, dataset, **kwargs)
 
 
+class FlowWeakFormLDC(FEM2DModule):
+    """Older single-field squared weak-form NS/Stokes loss (reference
+    examples/{navier-stokes,stokes}/single_instance/01_weak_form_ldc.py:77-119):
+    mean over elements of 1000*(advection + viscous*f - pressure-div)^2 +
+    divergence/pressure regularization. Batch inputs channels:
+    (x, bc1 walls, bc2 lid, bc3 pressure pin)."""
+
+    def __init__(self, network=None, dataset=None, **kwargs):
+        super().__init__(network, dataset, **kwargs)
+
+    def loss(self, pred, inputs_tensor, forcing_tensor):
+        u, v, p = (_squeeze_field(f) for f in pred)
+        bc1 = inputs_tensor[..., 1]
+        bc2 = inputs_tensor[..., 2]
+        bc3 = inputs_tensor[..., 3]
+        f = _squeeze_field(forcing_tensor)
+        u = self.apply_dirichlet(u, bc1, 0.0)
+        u = self.apply_dirichlet(u, bc2, 1.0)
+        v = jnp.where((bc1 > 0.5) | (bc2 > 0.5), jnp.zeros_like(v), v)
+        p = self.apply_dirichlet(p, bc3, 0.0)
+
+        ug = self.gp_all(u, ("N", "dx", "dy"))
+        vg = self.gp_all(v, ("N", "dx", "dy"))
+        pg = self.gp_all(p, ("N", "dx"))
+        f_gp = self.gauss_pt_evaluation(f)
+        w = jnp.asarray(self.gpw, u.dtype)
+
+        advec = (ug["N"] * ug["N"] * ug["dx"] + ug["N"] * vg["N"] * ug["dy"]
+                 + ug["N"] * vg["N"] * vg["dx"] + vg["N"] * vg["N"] * vg["dy"])
+        stokes = (ug["dx"] ** 2 + ug["dy"] ** 2 + vg["dx"] ** 2
+                  + vg["dy"] ** 2) * f_gp
+        press = pg["N"] * (ug["dx"] + vg["dy"])
+        r1 = w * (advec + stokes - press) ** 2
+        r2 = w * (press**2 + 0.005 * pg["dx"] ** 2)
+        return jnp.mean(1000.0 * jnp.sum(r1, -1) + jnp.sum(r2, -1))
+
+
 def ldc_bcs(node_shape, lengths=(1.0, 1.0), regularized=True):
     """Lid-driven-cavity Dirichlet data: u = 1 - 16 (x - 1/2)^4 on the lid
     (regularized; reference e1_ns_ldc_resmin.py:119-125), no-slip elsewhere,

@@ -51,3 +51,28 @@ def test_flow_past_cylinder():
     assert np.abs(u[chi > 0.5]).max() < 1e-5
     # flow accelerates around the obstacle: some u exceeds the inlet peak
     assert u.max() > np.asarray(ds.u_bc)[:, 0].max() * 1.02
+
+
+def test_weak_form_ldc_trains():
+    """Older squared weak-form NS loss decreases under training (reference
+    01_weak_form_ldc.py)."""
+    from diffnet_tpu.pde.flow import FlowWeakFormLDC
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+
+    n = 16
+    x = np.linspace(0, 1, n)
+    xx, _ = np.meshgrid(x, x)
+    bc1 = np.zeros((n, n)); bc1[0, :] = 1; bc1[:, [0, -1]] = 1
+    bc2 = np.zeros((n, n)); bc2[-1, :] = 1
+    bc3 = np.zeros((n, n)); bc3[0, 0] = 1
+    inputs = np.stack([xx, bc1, bc2, bc3], -1).astype(np.float32)
+    forcing = np.full((n, n, 1), 0.01, np.float32)
+    ds = InMemoryDataset(inputs[None], forcing[None])
+    net = TripleField((n, n))
+    m = FlowWeakFormLDC(net, ds, domain_size=n, batch_size=1)
+    batch = (jnp.asarray(inputs)[None], jnp.asarray(forcing)[None])
+    loss0 = float(m.training_loss(net.init(None), batch))
+    st = Trainer(max_epochs=40, optimizer="lbfgs",
+                 lbfgs_max_iter=10).fit(m, NumpyLoader(ds, 1))
+    loss1 = float(m.training_loss(st.params, batch))
+    assert np.isfinite(loss1) and loss1 < loss0
