@@ -66,7 +66,9 @@ def add_config_args(parser: argparse.ArgumentParser,
         name = "--" + f.name.replace("_", "-")
         default = getattr(defaults, f.name)
         if f.type == "bool" or isinstance(default, bool):
-            parser.add_argument(name, action="store_true", default=default)
+            # --flag / --no-flag so default-True booleans are controllable
+            parser.add_argument(name, action=argparse.BooleanOptionalAction,
+                                default=default)
         elif isinstance(default, tuple):
             parser.add_argument(name, type=int, nargs="*",
                                 default=list(default))

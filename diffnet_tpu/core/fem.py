@@ -228,15 +228,14 @@ def gp_coords(basis: FEMBasis, node_shape: Sequence[int],
     """
     nsd = basis.nsd
     nel = num_elements(node_shape, basis.deg)
-    if lengths is None:
-        lengths = [basis.h[d] * nel[::-1][d] for d in range(nsd)]
-    # 1D gp offsets within an element, per axis (x first).
+    # 1D gp offsets within an element, per axis (x first). When `lengths` is
+    # given it overrides the element size implied by basis.h.
     gp = basis.gp_1d  # [ngp_1d]
     ngp = basis.ngp_1d
     axes_1d = []
     for d in range(nsd):  # d: 0=x, 1=y, 2=z
         ne = nel[::-1][d]
-        h = basis.h[d]
+        h = (lengths[d] / ne) if lengths is not None else basis.h[d]
         starts = np.arange(ne) * h
         axes_1d.append(starts[:, None] + (gp[None, :] + 1.0) * 0.5 * h)  # [ne, ngp_1d]
 

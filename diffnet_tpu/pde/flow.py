@@ -184,10 +184,14 @@ class StokesMMS(StokesNSBase):
 
     def __init__(self, network=None, dataset=None, **kwargs):
         pi, sin, cos = np.pi, np.sin, np.cos
+        # the viscous part of the MMS forcing scales with viscosity = 1/Re
+        # (the residual is visco*lap(u) - grad p = -f); the reference only
+        # ever runs this at Re = 1 where the distinction vanishes
+        visco = 1.0 / float(kwargs.get("Re", getattr(dataset, "Re", 1.0)))
         kwargs.setdefault("forcing", lambda x, y: (
-            2 * pi**2 * sin(pi * x) * cos(pi * y)
+            visco * 2 * pi**2 * sin(pi * x) * cos(pi * y)
             + pi * sin(pi * y) * cos(pi * x),
-            -2 * pi**2 * sin(pi * y) * cos(pi * x)
+            -visco * 2 * pi**2 * sin(pi * y) * cos(pi * x)
             + pi * sin(pi * x) * cos(pi * y),
         ))
         super().__init__(network, dataset, **kwargs)

@@ -202,8 +202,17 @@ class PoissonFDM2D(FDMModule):
         lap = self.fdm.dxx(u) + self.fdm.dyy(u)
         nux = self.fdm.dx(nu)
         nuy = self.fdm.dy(nu)
-        # 3-pt d1 and d2 interiors differ by one ring; crop d1 outputs is not
-        # needed (both shrink by 1 per side for 3-pt stencils)
-        res = (f[..., 1:-1, 1:-1] + ux * nux + uy * nuy
-               + nu[..., 1:-1, 1:-1] * lap)
+        # align interiors: first-derivative stencils shrink by k1 rings
+        # (k1 = 1 for 3-pt, 2 for 5-pt) while the 3-pt laplacian shrinks 1;
+        # crop everything to the common interior
+        k1 = (self.fdm.num_pt - 1) // 2
+        m = max(k1, 1)
+
+        def crop(a, k):
+            d = m - k
+            return a[..., d:a.shape[-2] - d, d:a.shape[-1] - d] if d else a
+
+        res = (f[..., m:-m, m:-m] + crop(ux, k1) * crop(nux, k1)
+               + crop(uy, k1) * crop(nuy, k1)
+               + nu[..., m:-m, m:-m] * crop(lap, 1))
         return jnp.linalg.norm(res.reshape(res.shape[0], -1), axis=1)

@@ -42,8 +42,9 @@ class TopOpt2D(FEM2DModule):
     def project_density(self, rho):
         """SIMP projection: median3x3(0.001 + sigmoid(rho)^3)
         (16_topopt.py:123)."""
-        return median_filter_3x3(0.001 + jnp.clip(
-            jax_sigmoid(rho) ** 3, 0.0, 1.0))
+        import jax.nn
+
+        return median_filter_3x3(0.001 + jax.nn.sigmoid(rho) ** 3)
 
     def pde_loss(self, u, nu, bc1, bc2, f):
         dbc1 = jnp.mean(bc1 * (u - 1.0) ** 2)
@@ -99,7 +100,3 @@ class TopOpt2D(FEM2DModule):
         return (w0 * self.pde_loss(u, nu, bc1, bc2, f)
                 + w1 * self.compliance(u, nu, bc1, bc2, f)
                 + w2 * self.vf_loss(nu))
-
-
-def jax_sigmoid(x):
-    return 1.0 / (1.0 + jnp.exp(-x))

@@ -138,7 +138,7 @@ class TensorBoardLogger:
 
 
 def _make_optimizer(name_or_opt, learning_rate, lbfgs_max_iter,
-                    lr_milestones=None, lr_gamma=0.1):
+                    lr_milestones=None, lr_gamma=0.1, steps_per_epoch=1):
     if isinstance(name_or_opt, optax.GradientTransformation) or (
         hasattr(name_or_opt, "init") and hasattr(name_or_opt, "update")
     ):
@@ -147,9 +147,12 @@ def _make_optimizer(name_or_opt, learning_rate, lbfgs_max_iter,
     lr = learning_rate
     if lr_milestones:
         # MultiStepLR equivalent (reference MultiStepLR(milestones=[...],
-        # gamma=0.1), IBN_2D.py:167)
+        # gamma=0.1), IBN_2D.py:167). Milestones are EPOCHS (Lightning steps
+        # schedulers per epoch), so convert to optimizer steps.
         lr = optax.piecewise_constant_schedule(
-            learning_rate, {int(m): lr_gamma for m in lr_milestones})
+            learning_rate,
+            {int(m) * max(1, steps_per_epoch): lr_gamma
+             for m in lr_milestones})
     if name == "adam":
         return optax.adam(lr), False
     if name == "sgd":
@@ -258,12 +261,28 @@ class Trainer:
                                      batch_size=module.batch_size,
                                      shuffle=True, seed=self.seed)
 
+        try:
+            n_batches = len(dataloader)
+        except TypeError:
+            n_batches = None
+        if n_batches == 0:
+            raise ValueError(
+                "dataloader yields zero batches (dataset smaller than "
+                "batch_size with drop_last=True?) — lower batch_size or use "
+                "NumpyLoader(..., drop_last=False)")
         lr = self.learning_rate or getattr(module, "learning_rate", 3e-4)
         opt, is_lbfgs = _make_optimizer(self.optimizer_spec, lr,
                                         self.lbfgs_max_iter,
-                                        self.lr_milestones, self.lr_gamma)
+                                        self.lr_milestones, self.lr_gamma,
+                                        steps_per_epoch=n_batches or 1)
 
-        first_batch = next(iter(dataloader))
+        try:
+            first_batch = next(iter(dataloader))
+        except StopIteration:
+            raise ValueError(
+                "dataloader yields zero batches (dataset smaller than "
+                "batch_size with drop_last=True?) — lower batch_size or use "
+                "NumpyLoader(..., drop_last=False)") from None
         first_batch = jax.tree.map(jnp.asarray, first_batch)
         if params is None:
             params = module.init_params(jax.random.key(self.seed), first_batch)
@@ -271,7 +290,7 @@ class Trainer:
 
         if self.round_robin:
             n_obj = module.num_objectives
-            step_fns = [self._build_objective_step(module, opt, i)
+            step_fns = [self._build_objective_step(module, opt, i, is_lbfgs)
                         for i in range(n_obj)]
             rr_counter = [0]
 
@@ -305,10 +324,11 @@ class Trainer:
             metrics = {"epoch": epoch, "loss": epoch_loss, "PDE_loss": epoch_loss,
                        "time_sec": dt}
             if val_dataloader is not None:
-                val_fn = getattr(self, "_val_fn", None)
-                if val_fn is None:
-                    val_fn = jax.jit(module.training_loss)
-                    self._val_fn = val_fn
+                cached = getattr(self, "_val_fn", None)
+                if cached is None or cached[0] is not module:
+                    cached = (module, jax.jit(module.training_loss))
+                    self._val_fn = cached
+                val_fn = cached[1]
                 vlosses = [val_fn(state.params, jax.tree.map(jnp.asarray, b))
                            for b in val_dataloader]
                 metrics["val_loss"] = float(jnp.mean(jnp.stack(vlosses)))
@@ -334,11 +354,38 @@ class Trainer:
         self.state = state
         return state
 
-    def _build_objective_step(self, module, opt, obj_idx: int):
+    def _build_objective_step(self, module, opt, obj_idx: int,
+                              is_lbfgs: bool = False):
         """Per-objective update (reference optimizer_idx round-robin)."""
 
         def loss_fn(params, batch):
             return module.objective_loss(obj_idx, params, batch)
+
+        if is_lbfgs:
+            max_iter = self.lbfgs_max_iter
+
+            def step(state: TrainState, batch):
+                def f(p):
+                    return loss_fn(p, batch)
+
+                vg = optax.value_and_grad_from_state(f)
+
+                def inner(carry, _):
+                    params, opt_state = carry
+                    value, grads = vg(params, state=opt_state)
+                    updates, opt_state = opt.update(
+                        grads, opt_state, params, value=value, grad=grads,
+                        value_fn=f)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), value
+
+                (params, opt_state), values = jax.lax.scan(
+                    inner, (state.params, state.opt_state), None,
+                    length=max_iter)
+                return TrainState(params, opt_state,
+                                  state.step + 1), values[-1]
+
+            return jax.jit(step)
 
         def step(state: TrainState, batch):
             loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)

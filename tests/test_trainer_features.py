@@ -182,3 +182,92 @@ def test_validation_loop():
         tr.fit(Quad(), NumpyLoader(ds, 1), val_dataloader=NumpyLoader(ds, 1))
         header = open(os.path.join(d, "metrics.csv")).readline()
         assert "val_loss" in header
+
+
+def test_review_fix_regressions():
+    """Pins for the round-1 code-review fixes."""
+    import argparse
+    import jax.numpy as jnp
+    from diffnet_tpu.config import RunConfig, add_config_args, config_from_args
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+
+    # config bools controllable both ways
+    p = add_config_args(argparse.ArgumentParser())
+    cfg = config_from_args(p.parse_args(["--no-checkpoint"]))
+    assert cfg.checkpoint is False
+    cfg2 = config_from_args(p.parse_args([]))
+    assert cfg2.checkpoint is True
+
+    # empty loader -> clear error, not StopIteration
+    class M:
+        dataset = None
+        batch_size = 4
+        learning_rate = 0.1
+
+        def training_loss(self, p, b):
+            return jnp.zeros(())
+
+        def init_params(self, rng, b):
+            return {}
+
+    ds = InMemoryDataset(np.zeros((2, 1), np.float32),
+                         np.zeros((2, 1), np.float32))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="zero batches"):
+        Trainer(max_epochs=1).fit(M(), NumpyLoader(ds, batch_size=8))
+
+    # gp_coords honors lengths
+    b = make_basis(2, 1, h=(0.1, 0.1))
+    xg1, _ = fem.gp_coords(b, (11, 11))
+    xg2, _ = fem.gp_coords(b, (11, 11), lengths=(2.0, 2.0))
+    assert abs(xg1.max() - 1.0) < 0.1 and abs(xg2.max() - 2.0) < 0.2
+
+
+def test_fdm_5pt_loss_runs():
+    """stencil_len=5 FDM Poisson no longer crashes (review fix)."""
+    from diffnet_tpu.data.single_instances import RectangleManufactured
+    from diffnet_tpu.models.field import DirectField
+    from diffnet_tpu.pde.poisson import PoissonFDM2D
+
+    n = 16
+    ds = RectangleManufactured(domain_size=n)
+    net = DirectField((n, n))
+    m = PoissonFDM2D(net, ds, domain_size=n, batch_size=1, stencil_len=5)
+    batch = (jnp.asarray(ds[0][0])[None], jnp.asarray(ds[0][1])[None])
+    val = m.training_loss(net.init(None), batch)
+    assert np.isfinite(float(val))
+
+
+def test_round_robin_lbfgs():
+    """round_robin + lbfgs works (review fix)."""
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+
+    class TwoObj:
+        num_objectives = 2
+        dataset = None
+        batch_size = 1
+        learning_rate = 1.0
+
+        class Net:
+            def init(self, rng, x):
+                return {"a": jnp.ones(()), "b": jnp.ones(())}
+
+            def apply(self, params, x):
+                return params
+
+        network = Net()
+
+        def init_params(self, rng, batch):
+            return self.network.init(rng, None)
+
+        def objective_loss(self, idx, params, batch):
+            return ((params["a"] - 3.0) ** 2 if idx == 0
+                    else (params["b"] + 2.0) ** 2)
+
+    ds = InMemoryDataset(np.zeros((1, 1), np.float32),
+                         np.zeros((1, 1), np.float32))
+    tr = Trainer(max_epochs=8, optimizer="lbfgs", lbfgs_max_iter=5,
+                 round_robin=True)
+    st = tr.fit(TwoObj(), NumpyLoader(ds, batch_size=1))
+    assert abs(float(st.params["a"]) - 3.0) < 1e-3
+    assert abs(float(st.params["b"]) + 2.0) < 1e-3
