@@ -122,3 +122,58 @@ def test_uq_query(tmp_path):
     assert mean.shape == (n, n) and sdev.shape == (n, n)
     assert (sdev >= 0).all() and sdev.max() > 0
     assert os.path.exists(tmp_path / "q_mean.npy")
+
+
+def test_fdm_module_3d():
+    """FDMModule with nsd=3 wires 3D stencils (reference DiffNetFDM nsd=3
+    branch)."""
+    from diffnet_tpu.pde.base import FDMModule
+
+    n = 17
+    m = FDMModule(None, None, nsd=3, domain_size=n)
+    x = np.linspace(0, 1, n)
+    zz, yy, xx = np.meshgrid(x, x, x, indexing="ij")
+    u = jnp.asarray(2 * xx - yy + 3 * zz, jnp.float32)
+    np.testing.assert_allclose(np.asarray(m.derivative_x(u))[2:-2, 2:-2, 2:-2],
+                               2.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(m.derivative_z(u))[2:-2, 2:-2, 2:-2],
+                               3.0, atol=1e-3)
+    lap = m.calc_laplacian(u)
+    np.testing.assert_allclose(np.asarray(lap)[2:-2, 2:-2, 2:-2], 0.0,
+                               atol=1e-2)
+
+
+def test_poisson3d_deg2():
+    """Quadratic basis in 3D: eval of a triquadratic is exact."""
+    from diffnet_tpu.core import fem
+    from diffnet_tpu.core.quadrature import make_basis
+
+    n = 9
+    h = 2.0 / ((n - 1) // 2)  # element size: deg-2 elements span 2 node gaps
+    b = make_basis(3, 2, h=(h, h, h))
+    x = np.linspace(0, 2, n)
+    zz, yy, xx = np.meshgrid(x, x, x, indexing="ij")
+    u = jnp.asarray(xx**2 + yy * zz, jnp.float32)
+    out = fem.gp_eval(u, b, ("N", "dx", "d2x"))
+    xg, yg, zg = fem.gp_coords(b, (n, n, n))
+    np.testing.assert_allclose(np.asarray(out["N"]), xg**2 + yg * zg,
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["dx"]), 2 * xg, rtol=1e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["d2x"]), 2.0, atol=5e-3)
+
+
+def test_eikonal_fdm_variant():
+    from diffnet_tpu.core.geometry import sample_ellipse_cloud
+    from diffnet_tpu.pde.eikonal import EikonalFDM2D
+
+    n = 24
+    pts, nrm, area = sample_ellipse_cloud(48)
+    cloud = jnp.asarray(np.concatenate([pts, nrm, area[:, None]], -1))[None]
+    m = EikonalFDM2D(None, None, domain_size=n, batch_size=1)
+    u = jnp.asarray(np.random.default_rng(0).random((1, n, n)), jnp.float32)
+    val = float(m.loss(u, cloud, None))
+    assert np.isfinite(val)
+    import jax as _jax
+    g = _jax.grad(lambda u: m.loss(u, cloud, None))(u)
+    assert np.isfinite(np.asarray(g)).all()
