@@ -67,3 +67,39 @@ def test_ldc_matches_reference_solver(re, fname, tol_u, tol_v):
     err_v = np.abs(v[n // 2, :] - np.interp(y, ref_s, ref_v))
     assert err_u.max() < tol_u, err_u.max()
     assert err_v.max() < tol_v, err_v.max()
+
+
+def test_stokes_ldc_matches_reference_solver():
+    """Stokes (PSPG) lid-driven cavity vs the reference's conventional
+    solver cuts (stokes-ldc-numerical-results/midline_cuts_Re1_...txt)."""
+    from diffnet_tpu.data.flow import NSLDCDataset
+    from diffnet_tpu.pde.flow import StokesNSBase, ldc_bcs
+    from diffnet_tpu.train.trainer import Trainer
+
+    path = ("/root/reference/examples/stokes/single_instance/"
+            "stokes-ldc-numerical-results/"
+            "midline_cuts_Re1_regularized_128x128.txt")
+    if not os.path.exists(path):
+        pytest.skip("stokes reference data not mounted")
+    ref = np.loadtxt(path, delimiter=",", skiprows=1)
+    n = 48
+
+    class StokesLDC(StokesNSBase):
+        eq_type = "stokes"
+
+    ds = NSLDCDataset(domain_sizes=(n, n), Re=1)
+    ds.n_samples = 1
+    u_bc, v_bc, p_bc = ldc_bcs((n, n))
+    m = StokesLDC(TripleField(n), ds, domain_size=n, batch_size=1, Re=1,
+                  u_bc=u_bc, v_bc=v_bc, p_bc=p_bc, loss_norm="squared")
+    st = Trainer(max_epochs=600, optimizer="lbfgs",
+                 lbfgs_max_iter=10).fit(m)
+    batch = (jnp.asarray(ds[0][0])[None], jnp.asarray(ds[0][1])[None])
+    u, v, p = m.apply_bcs(m.network.apply(st.params, batch[0]), batch[0])
+    u = np.asarray(u)[0]
+    v = np.asarray(v)[0]
+    y = np.linspace(0, 1, n)
+    err_u = np.abs(u[:, n // 2] - np.interp(y, ref[:, 0], ref[:, 1]))
+    err_v = np.abs(v[n // 2, :] - np.interp(y, ref[:, 0], ref[:, 2]))
+    assert err_u.max() < 0.07, err_u.max()
+    assert err_v.max() < 0.04, err_v.max()
