@@ -30,16 +30,19 @@ from .poisson import _squeeze_field
 
 def calc_tau(h, u, v, visco):
     """VMS stabilization parameters at Gauss points (detached advection),
-    reference e1_ns_ldc_resmin.py:147-167."""
+    reference e1_ns_ldc_resmin.py:147-167 / b1_stokes_ns_resmin_base.py:152-172.
+    `h` may be a scalar or an (hx, hy) tuple (anisotropic grids)."""
+    hx, hy = (h, h) if np.isscalar(h) else h
     u = jax.lax.stop_gradient(u)
     v = jax.lax.stop_gradient(v)
-    Gxx = 4.0 / h**2
+    Gxx = 4.0 / hx**2
+    Gyy = 4.0 / hy**2
     Cinv = 36.0
-    adv_part = Gxx * u**2 + Gxx * v**2
-    diff_part = Cinv * visco**2 * (2.0 * Gxx**2)
+    adv_part = Gxx * u**2 + Gyy * v**2
+    diff_part = Cinv * visco**2 * (Gxx**2 + Gyy**2)
     temp = jnp.sqrt(adv_part + diff_part)
     taum = 1.0 / temp
-    tauc = temp / (2.0 * Gxx)
+    tauc = temp / (Gxx + Gyy)
     return taum, tauc
 
 
@@ -136,7 +139,7 @@ class StokesNSBase(FEM2DModule):
             adv2 = u * v_x + v * v_y
             res1 = adv1 - visco * lap1 + p_x - f1
             res2 = adv2 - visco * lap2 + p_y - f2
-            taum, tauc = calc_tau(self.h, u, v, visco)
+            taum, tauc = calc_tau((self.hx, self.hy), u, v, visco)
 
             # momentum-x: Galerkin + VMS terms (cross term 1 (u·grad W) tau
             # res, cross term 2 -W tau (res·grad U), Reynolds stress
