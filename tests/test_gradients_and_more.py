@@ -133,3 +133,62 @@ def test_bf16_compute_policy():
     params = net.init(jax.random.key(0), x)
     y = net.apply(params, x)
     assert np.isfinite(np.asarray(y, np.float32)).all()
+
+
+def test_deg2_convergence_rate():
+    """Quadratic basis: L2 error decays ~O(h^3) between two grids
+    (the reference's MMS convergence acceptance criterion, SURVEY §4)."""
+    from diffnet_tpu.train.trainer import Trainer
+
+    errs = {}
+    for n in (9, 17):
+        exact = lambda x, y: np.sin(math.pi * x) * np.sin(math.pi * y)
+        forcing = lambda x, y: 2 * math.pi**2 * np.sin(math.pi * x) * np.sin(
+            math.pi * y)
+        ds = RectangleManufactured(domain_size=n)
+        ds.n_samples = 1
+        net = DirectField((n, n), init=np.zeros((n, n)))
+        m = Poisson2D(net, ds, domain_size=n, batch_size=1, fem_basis_deg=2,
+                      loss_type="resmin", exact_solution=exact,
+                      forcing=forcing, mms_dirichlet=True)
+        st = Trainer(max_epochs=60, optimizer="lbfgs",
+                     lbfgs_max_iter=10).fit(m)
+        eL2, _, uex = m.calc_l2_err(m.network.apply(st.params)[0])
+        errs[n] = float(eL2 / uex)
+    rate = math.log2(errs[9] / errs[17])
+    assert rate > 2.5, (errs, rate)  # O(h^3) expected for P2
+
+
+def test_query_point_histograms():
+    from diffnet_tpu.train.query import point_histograms
+
+    all_u = np.arange(24, dtype=float).reshape(4, 2, 3)
+    h = point_histograms(all_u, [(0, 0), (1, 2)])
+    assert set(h) == {(0, 0), (1, 2)}
+    np.testing.assert_array_equal(h[(0, 0)], [0, 6, 12, 18])
+    np.testing.assert_array_equal(h[(1, 2)], [5, 11, 17, 23])
+
+
+def test_training_determinism():
+    """Same seed -> bitwise-identical training result (reference
+    seed_everything(42) + deterministic=True parity)."""
+    from diffnet_tpu.data.parametric import SyntheticPointClouds
+    from diffnet_tpu.data.loader import NumpyLoader
+    from diffnet_tpu.models.networks import AE
+    from diffnet_tpu.pde.ibn import IBNPoisson2D
+    from diffnet_tpu.train.trainer import Trainer
+
+    def run():
+        ds = SyntheticPointClouds(n_samples=8, n_points=32, domain_size=32,
+                                  seed=3)
+        net = AE(out_channels=1, dims=2, n_downsample=2)
+        m = IBNPoisson2D(net, domain_size=32, batch_size=4)
+        tr = Trainer(max_epochs=2, optimizer="adam", learning_rate=1e-3,
+                     seed=7)
+        st = tr.fit(m, NumpyLoader(ds, 4, shuffle=True, seed=7))
+        return jax.tree_util.tree_leaves(st.params)
+
+    a = run()
+    b = run()
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
