@@ -18,8 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .quadrature import lagrange_basis_1d
-
 __all__ = ["grid_interp_2d"]
 
 

@@ -14,7 +14,7 @@ IBN/poisson-3d/parametric/IBN_3D.py:193-199).
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+from typing import Iterator
 
 import jax
 import numpy as np

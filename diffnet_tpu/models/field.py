@@ -10,7 +10,6 @@ field mode). Conforms to the framework's network protocol
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 import math
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = ["FCGenerator", "ResidualFCGenerator", "LatentGenerator",

@@ -22,11 +22,8 @@ All modules conform to the framework network protocol:
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 __all__ = ["UNet", "UNet3D", "MultiOutUNet", "AE", "VAE", "GoodNetwork",

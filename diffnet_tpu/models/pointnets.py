@@ -18,7 +18,6 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 __all__ = ["MLP", "ImmDiff", "ImmDiffVAE", "ImmDiffLarge",

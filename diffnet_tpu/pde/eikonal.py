@@ -28,8 +28,6 @@ def signed_occupancy_init(points, normals, areas, grid_shape, scale=0.1):
     The eikonal landscape is nonconvex; starting from a field with the right
     sign structure (which the reference obtains implicitly through its
     network parameterization) is what makes direct LBFGS solves converge."""
-    import jax.numpy as _jnp
-
     from ..core.geometry import occupancy_from_cloud
 
     chi = occupancy_from_cloud(points, normals, areas, grid_shape)

@@ -17,8 +17,6 @@ reference datasets (bc1 = source/Dirichlet-1, bc2 = sink/Dirichlet-0 unless a
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax.numpy as jnp
 import numpy as np
 

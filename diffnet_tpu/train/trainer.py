@@ -23,7 +23,7 @@ from __future__ import annotations
 import csv
 import os
 import time
-from typing import Any, Callable, NamedTuple, Sequence
+from typing import Any, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
