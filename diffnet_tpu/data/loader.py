@@ -52,12 +52,14 @@ class NumpyLoader:
     """
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
-                 drop_last: bool = True, sharding=None, seed: int = 42):
+                 drop_last: bool = True, sharding=None, seed: int = 42,
+                 prefetch: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.sharding = sharding
+        self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -67,6 +69,33 @@ class NumpyLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator:
+        if self.prefetch > 0:
+            return self._prefetch_iter()
+        return self._plain_iter()
+
+    def _prefetch_iter(self):
+        """Host-side background prefetch (the counterpart of torch
+        DataLoader workers, reference base.py:18 n_workers)."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        END = object()
+
+        def producer():
+            for b in self._plain_iter():
+                q.put(b)
+            q.put(END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is END:
+                return
+            yield b
+
+    def _plain_iter(self) -> Iterator:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:

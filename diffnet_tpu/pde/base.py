@@ -50,7 +50,12 @@ class PDEModule:
         self.kwargs = kwargs
         self.nsd = kwargs.get("nsd", 2)
         self.batch_size = kwargs.get("batch_size", 64)
+        self.n_workers = kwargs.get("n_workers", 1)
         self.learning_rate = kwargs.get("learning_rate", 3e-4)
+        # rematerialization: recompute the forward pass during backprop
+        # instead of storing activations — the standard TPU memory/FLOP
+        # trade for large grids/batches
+        self.remat = kwargs.get("remat", False)
 
         self.domain_length = kwargs.get("domain_length", 1.0)
         self.domain_size = kwargs.get("domain_size", 64)
@@ -76,9 +81,17 @@ class PDEModule:
         return u, inputs_tensor, forcing_tensor
 
     def training_loss(self, params, batch):
-        """loss ∘ forward; the Trainer jits+grads this (base.py:42-47)."""
-        u, inputs_tensor, forcing_tensor = self.forward(params, batch)
-        return jnp.mean(self.loss(u, inputs_tensor, forcing_tensor))
+        """loss ∘ forward; the Trainer jits+grads this (base.py:42-47).
+        With ``remat=True`` the whole forward is checkpointed (activations
+        recomputed in the backward pass)."""
+
+        def _fwd_loss(params, batch):
+            u, inputs_tensor, forcing_tensor = self.forward(params, batch)
+            return jnp.mean(self.loss(u, inputs_tensor, forcing_tensor))
+
+        if self.remat:
+            return jax.checkpoint(_fwd_loss)(params, batch)
+        return _fwd_loss(params, batch)
 
     def init_params(self, rng: jax.Array, sample_batch) -> Any:
         inputs, _ = sample_batch

@@ -271,3 +271,37 @@ def test_round_robin_lbfgs():
     st = tr.fit(TwoObj(), NumpyLoader(ds, batch_size=1))
     assert abs(float(st.params["a"]) - 3.0) < 1e-3
     assert abs(float(st.params["b"]) + 2.0) < 1e-3
+
+
+def test_remat_training_loss_identical():
+    """remat=True gives identical loss/gradients (just recomputed)."""
+    from diffnet_tpu.data.single_instances import RectangleManufactured
+    from diffnet_tpu.models.field import DirectField
+    from diffnet_tpu.pde.poisson import Poisson2D
+
+    n = 16
+    ds = RectangleManufactured(domain_size=n)
+    net = DirectField((n, n))
+    base_kw = dict(domain_size=n, batch_size=1, loss_type="resmin")
+    m1 = Poisson2D(net, ds, **base_kw)
+    m2 = Poisson2D(net, ds, remat=True, **base_kw)
+    batch = (jnp.asarray(ds[0][0])[None], jnp.asarray(ds[0][1])[None])
+    p = net.init(None)
+    l1, g1 = jax.value_and_grad(m1.training_loss)(p, batch)
+    l2, g2 = jax.value_and_grad(m2.training_loss)(p, batch)
+    assert float(l1) == float(l2)
+    np.testing.assert_array_equal(np.asarray(g1["field"]),
+                                  np.asarray(g2["field"]))
+
+
+def test_loader_prefetch_equivalent():
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+
+    ds = InMemoryDataset(np.arange(40, dtype=np.float32).reshape(10, 4),
+                         np.zeros((10, 1), np.float32))
+    plain = list(NumpyLoader(ds, batch_size=3, shuffle=True, seed=5))
+    pre = list(NumpyLoader(ds, batch_size=3, shuffle=True, seed=5,
+                           prefetch=2))
+    assert len(plain) == len(pre) == 3
+    for (a, _), (b, _) in zip(plain, pre):
+        np.testing.assert_array_equal(a, b)
