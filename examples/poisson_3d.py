@@ -52,6 +52,13 @@ def main():
     state = trainer.fit(module)
     u = np.asarray(module.network.apply(state.params)[0])
     write_vti(os.path.join(run_dir, "u3d.vti"), u)
+    if args.voxel_prefix:
+        # chi isosurface -> OBJ (the reference marching-cubes + trimesh
+        # workflow, IBN_3D.py:36-69)
+        from diffnet_tpu.utils.mesh3d import field_to_obj
+
+        chi = ds[0][0][..., 1]
+        field_to_obj(os.path.join(run_dir, "object.obj"), chi, level=0.5)
     if not args.voxel_prefix:
         eL2, _, uexL2 = module.calc_l2_err(
             module.network.apply(state.params)[0], verbose=True)
