@@ -223,7 +223,9 @@ class Trainer:
                                                 state.params)
                 params = optax.apply_updates(state.params, updates)
                 return TrainState(params, opt_state, state.step + 1), loss
-            return jax.jit(step)
+            # donate the state: params/opt_state buffers are reused in place
+            # instead of allocating fresh HBM every step
+            return jax.jit(step, donate_argnums=(0,))
 
         max_iter = self.lbfgs_max_iter
 
