@@ -32,11 +32,16 @@ class IBNPoisson2D(FEM2DModule):
     """
 
     def __init__(self, network=None, dataset=None, source_from="winding",
-                 winding_threshold=0.5, neumann=False, **kwargs):
+                 winding_threshold=0.5, neumann=False,
+                 ibn_loss_type="energy", **kwargs):
         super().__init__(network, dataset, **kwargs)
         self.source_from = source_from
         self.winding_threshold = winding_threshold
         self.neumann = neumann
+        # 'energy' (IBN_2D.py:116-134) or 'resmin' — the winding-number
+        # Galerkin-residual variant (09_airfoil.py loss_poisson_windingnumber,
+        # examples/eiqonal/parametric/09_airfoil.py:238-291)
+        self.ibn_loss_type = ibn_loss_type
 
     # -- forward ---------------------------------------------------------
     def forward(self, params, batch):
@@ -87,6 +92,16 @@ class IBNPoisson2D(FEM2DModule):
             u = self.apply_dirichlet(u, bc1, 1.0)
             u = self.apply_dirichlet(u, bc2, 0.0)
 
+        if self.ibn_loss_type == "resmin":
+            gp = self.gp_all(u, ("dx", "dy"))
+            nu_gp = self.gauss_pt_evaluation(nu)
+            f_gp = self.gauss_pt_evaluation(f)
+            R = self.assemble_multi([
+                (nu_gp * gp["dx"], "dx"), (nu_gp * gp["dy"], "dy"),
+                (-f_gp, "N")])
+            R = jnp.where(bc1 > 0.5, jnp.zeros_like(R), R)
+            R = jnp.where(bc2 > 0.5, jnp.zeros_like(R), R)
+            return jnp.sum(R**2)
         # reference IBN uses gpw-only weighting (IBN_2D.py:129-130)
         w = jnp.asarray(self.gpw, u.dtype)
         return poisson_energy_loss(self, u, nu, f, w)
@@ -99,6 +114,12 @@ class IBNPoisson3D(FEM3DModule):
 
     def __init__(self, network=None, dataset=None, **kwargs):
         super().__init__(network, dataset, **kwargs)
+
+    def apply_bcs(self, u, inputs_tensor):
+        if u.ndim == inputs_tensor.ndim:
+            u = u[..., 0]
+        u = self.apply_dirichlet(u, inputs_tensor[..., 1], 1.0)
+        return self.apply_dirichlet(u, inputs_tensor[..., 2], 0.0)
 
     def loss(self, u, inputs_tensor, forcing_tensor):
         if u.ndim == inputs_tensor.ndim:

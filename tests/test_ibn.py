@@ -86,3 +86,22 @@ def test_ibn_end_to_end_training():
     assert 0.02 < chi.mean() < 0.5  # ellipses cover a plausible area fraction
     loss = float(module.loss(u, inputs, forcing))
     assert np.isfinite(loss)
+
+
+def test_ibn_resmin_variant():
+    """Winding-number Galerkin-resmin IBN variant (09_airfoil.py
+    loss_poisson_windingnumber)."""
+    n = 16
+    m = IBNPoisson2D(None, source_from="inputs", ibn_loss_type="resmin",
+                     domain_size=n, batch_size=1)
+    chi = np.zeros((n, n)); chi[5:10, 5:10] = 1
+    bc2 = np.zeros((n, n)); bc2[[0, -1], :] = 1; bc2[:, [0, -1]] = 1
+    inputs = jnp.asarray(
+        np.stack([np.ones((n, n)), chi, bc2], -1), jnp.float32)[None]
+    u = jnp.asarray(np.random.default_rng(0).random((1, n, n, 1)),
+                    jnp.float32)
+    f = jnp.zeros((1, n, n, 1))
+    val = float(m.loss(u, inputs, f))
+    assert np.isfinite(val) and val > 0
+    g = jax.grad(lambda u: m.loss(u, inputs, f))(u)
+    assert np.isfinite(np.asarray(g)).all()
