@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import fem
 from .base import FEM2DModule
 from .poisson import _squeeze_field
 
@@ -110,10 +111,15 @@ class StokesNSBase(FEM2DModule):
         else:
             f1 = f2 = jnp.zeros((1, 1, 1, self.ngp_total), dt)
 
-        # fused per-field evaluation
-        ugp = self.gp_all(u_pred, ("N", "dx", "dy", "d2x", "d2y"))
-        vgp = self.gp_all(v_pred, ("N", "dx", "dy", "d2x", "d2y"))
-        pgp = self.gp_all(p_pred, ("N", "dx", "dy"))
+        # ONE fused evaluation for all three fields x all quantities: stack
+        # (u, v, p) on a leading axis so the 13 reference conv calls
+        # (e1_ns_ldc_resmin.py:217-231) collapse into a single contraction
+        quants = ("N", "dx", "dy", "d2x", "d2y")
+        stacked = jnp.stack([u_pred, v_pred, p_pred], axis=0)
+        allgp = fem.gp_eval_stacked(stacked, self.basis, quants)
+        ugp = {q: allgp[0, ..., i, :] for i, q in enumerate(quants)}
+        vgp = {q: allgp[1, ..., i, :] for i, q in enumerate(quants)}
+        pgp = {q: allgp[2, ..., i, :] for i, q in enumerate(quants)}
         u, u_x, u_y = ugp["N"], ugp["dx"], ugp["dy"]
         v, v_x, v_y = vgp["N"], vgp["dx"], vgp["dy"]
         p, p_x, p_y = pgp["N"], pgp["dx"], pgp["dy"]
