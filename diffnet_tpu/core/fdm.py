@@ -43,9 +43,22 @@ def _stencil_taps(ktype: KType, num_pt: int, n: int):
     """1D (stencil, smoothing-weights) tap pairs; scale (n-1)/span baked into
     the stencil exactly as the reference does (DiffNetFDM.py:16-39)."""
     if ktype == "fs":
-        raise NotImplementedError(
-            "learned-filter 'fs' kernels are a training artifact of the "
-            "reference (DiffNetFDM.py:8-14); use 'fdm' or 'sobel'")
+        # learned-filter 5-tap kernel (reference DiffNetFDM.py:8-14):
+        # ker = (k2 @ k1) / n * 5 with k1 the derivative taps and k2 the
+        # smoothing taps — an outer product, hence separable into
+        # (stencil = k1 * scale, weights = k2)
+        k1 = np.array([0.104550, 0.292315, 0.0, -0.292315, -0.104550])
+        k2 = np.array([0.25, 0.5, 1.0, 0.5, 0.25])
+        # normalized so a unit-slope linear field yields derivative ~1
+        # (sum_k k1[k]*(-k) = 1.0028); the reference's own scaling is
+        # internally inconsistent (ker_t.T/5 mixes axes) — we keep the
+        # learned taps but make them a correct derivative operator
+        stencil = -k1 * (n - 1)
+        weights = k2
+        d2_stencil = ((n - 1) ** 2) * np.array([1.0, -2.0, 1.0])
+        d2_weights = np.ones(3)
+        return (stencil, weights / weights.sum(), d2_stencil,
+                d2_weights / d2_weights.sum())
     if num_pt == 3:
         stencil = np.array([-1.0, 0.0, 1.0]) * ((n - 1) / 2.0)
         weights = {"fdm": np.array([1.0, 1.0, 1.0]),

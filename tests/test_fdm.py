@@ -113,3 +113,18 @@ def test_batched():
     out = f.dx(u, mode="interior")
     assert out.shape == (4, 2, n - 2, n - 2)
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-5)
+
+
+def test_fs_learned_kernel():
+    """'fs' learned-filter kernels (reference DiffNetFDM.py:8-14) act as a
+    smoothed first derivative: exact to ~0.3% on linear fields."""
+    n = 33
+    x = np.linspace(0, 1, n)
+    xx, yy = np.meshgrid(x, x)
+    u = jnp.asarray(3.0 * xx, jnp.float32)
+    f = make_fdm(2, n, ktype="fs", num_pt=5)
+    dx = np.asarray(f.dx(u, mode="interior"))
+    np.testing.assert_allclose(dx, 3.0, rtol=5e-3)
+    # smoothing direction leaves constants intact
+    dy = np.asarray(f.dy(u, mode="interior"))
+    np.testing.assert_allclose(dy, 0.0, atol=1e-3)
