@@ -127,13 +127,12 @@ class StokesNSBase(FEM2DModule):
 
         if self.eq_type == "stokes":
             # PSPG-stabilized Stokes (e1_stokes_mms_resmin.py:159-198)
-            ones = jnp.ones_like(u)
             R1 = self.assemble_multi([
                 (visco * u_x, "dx"), (visco * u_y, "dy"),
-                (-p, "dx"), (-f1 * ones, "N")])
+                (-p, "dx"), (-f1, "N")])
             R2 = self.assemble_multi([
                 (visco * v_x, "dx"), (visco * v_y, "dy"),
-                (-p, "dy"), (-f2 * ones, "N")])
+                (-p, "dy"), (-f2, "N")])
             R3 = self.assemble_multi([
                 (divergence, "N"), (self.pspg_param * p_x, "dx"),
                 (self.pspg_param * p_y, "dy")])

@@ -51,9 +51,6 @@ def main():
     net = DirectField((n, n), init=u0)
     module = Eikonal2D(net, ds, domain_size=n, batch_size=1,
                        sdf_weight=100.0, normals_weight=10.0)
-    module.forward = lambda params, batch: (net.apply(params, batch[0]),
-                                            batch[0], batch[1])
-    module.init_params = lambda rng, b: net.init(None)
 
     run_dir = make_run_dir(args.out_dir, "eikonal")
     trainer = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",

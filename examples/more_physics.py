@@ -99,19 +99,10 @@ def main():
         from diffnet_tpu.data.geometry_datasets import ElasticFSDTDataset
         from diffnet_tpu.pde import ElasticFSDT
 
-        class TripleField:
-            def init(self, rng, sample=None):
-                z = jnp.zeros((n, n))
-                return {"u": z, "v": z, "p": z}
-
-            def apply(self, params, inputs=None):
-                b = 1 if inputs is None else inputs.shape[0]
-                f = lambda k: jnp.broadcast_to(params[k][None], (b, n, n))
-                return f("u"), f("v"), f("p")
-
         ds = ElasticFSDTDataset(domain_size=n)
         ds.n_samples = 1
-        m = ElasticFSDT(TripleField(), ds, domain_size=n, batch_size=1,
+        m = ElasticFSDT(DirectField((n, n), init=np.zeros((n, n)),
+                                    n_fields=3), ds, domain_size=n, batch_size=1,
                         loss_norm="squared")
         st = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",
                      lbfgs_max_iter=10, run_dir=run_dir).fit(

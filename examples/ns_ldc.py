@@ -30,20 +30,13 @@ def main():
 
     n = args.domain_size
 
-    class TripleField:
-        def init(self, rng, sample=None):
-            z = jnp.zeros((n, n))
-            return {"u": z, "v": z, "p": z}
-
-        def apply(self, params, inputs=None):
-            b = 1 if inputs is None else inputs.shape[0]
-            f = lambda k: jnp.broadcast_to(params[k][None], (b, n, n))
-            return f("u"), f("v"), f("p")
-
     ds = NSLDCDataset(domain_sizes=(n, n), Re=args.re)
     ds.n_samples = 1
     u_bc, v_bc, p_bc = ldc_bcs((n, n))
-    module = NavierStokes(TripleField(), ds, domain_size=n, batch_size=1,
+    from diffnet_tpu.models import DirectField
+
+    module = NavierStokes(
+        DirectField((n, n), init=np.zeros((n, n)), n_fields=3), ds, domain_size=n, batch_size=1,
                           Re=args.re, u_bc=u_bc, v_bc=v_bc, p_bc=p_bc,
                           loss_norm="squared")
     run_dir = make_run_dir(args.out_dir, f"ns-ldc-re{int(args.re)}")

@@ -30,19 +30,12 @@ def main():
 
     n = args.domain_size
 
-    class TripleField:
-        def init(self, rng, sample=None):
-            z = jnp.zeros((n, n))
-            return {"u": z, "v": z, "p": z}
-
-        def apply(self, params, inputs=None):
-            b = 1 if inputs is None else inputs.shape[0]
-            f = lambda k: jnp.broadcast_to(params[k][None], (b, n, n))
-            return f("u"), f("v"), f("p")
-
     ds = StokesMMSDataset(domain_size=n)
     ds.n_samples = 1
-    module = StokesMMS(TripleField(), ds, domain_size=n, batch_size=1, Re=1,
+    from diffnet_tpu.models import DirectField
+
+    module = StokesMMS(
+        DirectField((n, n), init=np.zeros((n, n)), n_fields=3), ds, domain_size=n, batch_size=1, Re=1,
                        loss_norm="squared")
     run_dir = make_run_dir(args.out_dir, "stokes-mms")
     trainer = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",

@@ -127,13 +127,6 @@ def test_eikonal_circle_sdf():
     net = DirectField((n, n), init=u0)
     m = Eikonal2D(net, ds, domain_size=n, batch_size=1, sdf_weight=100.0,
                   normals_weight=10.0)
-
-    # direct-field mode: network input irrelevant
-    def fwd(params, batch):
-        return net.apply(params, batch[0]), batch[0], batch[1]
-
-    m.forward = fwd
-    m.init_params = lambda rng, b: net.init(None)
     tr = Trainer(max_epochs=400, optimizer="lbfgs", lbfgs_max_iter=10)
     st = tr.fit(m, NumpyLoader(ds, batch_size=1))
     u = np.asarray(net.apply(st.params)[0])
