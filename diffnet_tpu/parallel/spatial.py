@@ -1,0 +1,94 @@
+"""Explicitly spatially-parallel FEM residual via shard_map.
+
+The jit/GSPMD path already handles spatially-sharded residuals automatically
+(tests/test_parallel.py). This module is the EXPLICIT-collectives version —
+each shard computes its local element contributions after a one-node-row
+halo exchange with its neighbors via ppermute. It exists as (a) a verified reference for
+the communication pattern any future multi-chip Pallas kernel needs, and
+(b) an escape hatch when GSPMD's choices are suboptimal.
+
+Decomposition: the global node grid [n, n] is sharded along rows (the
+'space' mesh axis) into S contiguous blocks. Element row e touches node rows
+{e, e+1}. Each shard receives one halo node row from each neighbor
+(ppermute), recomputes the cut element rows redundantly, and keeps only the
+contributions to its own node rows — so assembly needs NO reverse
+communication (compute-overlap beats a second ppermute on TPU: one element
+row of redundant FLOPs per cut vs an extra latency-bound collective).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core import fem
+from ..core.quadrature import FEMBasis
+
+__all__ = ["poisson_residual_spatial"]
+
+
+def _local_contrib(u_halo, nu_halo, basis, shard_idx, n_shards, nel_rows_loc):
+    """Element contributions for the local element rows [-1, n_loc):
+    u_halo [B, n_loc + 2, n] -> per-element residual scattered onto local
+    node rows [-1, n_loc + 1) == [B, n_loc + 2, n]."""
+    gp = fem.gp_eval(u_halo, basis, ("dx", "dy"))
+    nug = fem.gp_eval(nu_halo, basis, ("N",))["N"]
+    # mask out-of-domain element rows: global element row of local row k is
+    # shard_idx * n_loc - 1 + k; valid range [0, n_shards * n_loc - 1)
+    k = jax.lax.broadcasted_iota(jnp.int32, gp["dx"].shape[-3:], 0)
+    e_glob = shard_idx * nel_rows_loc - 1 + k
+    valid = ((e_glob >= 0) & (e_glob < n_shards * nel_rows_loc - 1)
+             ).astype(u_halo.dtype)
+    R = fem.galerkin_project_multi(
+        [(valid * nug * gp["dx"], "dx"), (valid * nug * gp["dy"], "dy")],
+        basis, u_halo.shape[-2:])
+    return R
+
+
+def poisson_residual_spatial(u, nu, basis: FEMBasis, mesh,
+                             axis_name: str = "space"):
+    """Assembled stiffness action K(nu)u with explicit halo exchange.
+
+    u, nu: [B, n, n] with n divisible by the 'space' axis size. Returns
+    [B, n, n] equal to the single-device assembly (pinned by test).
+    """
+    n = u.shape[-1]
+    S = mesh.shape[axis_name]
+    assert n % S == 0, f"rows {n} not divisible by space={S}"
+    n_loc = n // S
+
+    def local_fn(u_loc, nu_loc):
+        # u_loc [B, n_loc, n]
+        idx = jax.lax.axis_index(axis_name)
+
+        def halo(x):
+            # receive prev shard's last row and next shard's first row
+            from_prev = jax.lax.ppermute(
+                x[:, -1:, :], axis_name, [(i, (i + 1) % S) for i in range(S)])
+            from_next = jax.lax.ppermute(
+                x[:, :1, :], axis_name, [(i, (i - 1) % S) for i in range(S)])
+            zero = jnp.zeros_like(from_prev)
+            from_prev = jnp.where(idx == 0, zero, from_prev)
+            from_next = jnp.where(idx == S - 1, zero, from_next)
+            return jnp.concatenate([from_prev, x, from_next], axis=1)
+
+        R_halo = _local_contrib(halo(u_loc), halo(nu_loc), basis, idx, S,
+                                n_loc)
+        # compute-overlap scheme: the cut elements (global rows r0-1 and
+        # r0+n_loc-1) are computed by BOTH adjacent shards, and each shard
+        # keeps only the contributions landing on its OWN node rows — so no
+        # reverse communication is needed (one ppermute halo each way total,
+        # redundant compute of one element row per cut).
+        return R_halo[:, 1:-1, :]
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(None, axis_name, None)),
+        out_specs=P(None, axis_name, None))
+    spec = NamedSharding(mesh, P(None, axis_name, None))
+    return fn(jax.device_put(u, spec), jax.device_put(nu, spec))

@@ -101,3 +101,27 @@ def test_shard_batch_utility():
 def test_graft_dryrun():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
+
+
+def test_explicit_shard_map_residual_matches_global():
+    """The explicit ppermute halo-exchange residual equals the single-device
+    assembly exactly (parallel/spatial.py)."""
+    from diffnet_tpu.parallel.spatial import poisson_residual_spatial
+
+    n = 64
+    mesh = make_mesh(data=1, space=8)
+    basis = make_basis(2, 1, h=(1 / (n - 1),) * 2)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.random((2, n, n)), jnp.float32)
+    nu = jnp.asarray(rng.random((2, n, n)), jnp.float32)
+
+    def K_global(u, nu):
+        gp = fem.gp_eval(u, basis, ("dx", "dy"))
+        nug = fem.gp_eval(nu, basis, ("N",))["N"]
+        return fem.galerkin_project_multi(
+            [(nug * gp["dx"], "dx"), (nug * gp["dy"], "dy")], basis, (n, n))
+
+    R_ref = K_global(u, nu)
+    with mesh:
+        R = poisson_residual_spatial(u, nu, basis, mesh)
+    np.testing.assert_allclose(np.asarray(R), np.asarray(R_ref), atol=2e-5)
