@@ -6,6 +6,8 @@ from .trainer import (  # noqa: F401
     Trainer,
     TrainState,
     load_params,
+    load_state,
     make_run_dir,
     save_params,
+    save_state,
 )

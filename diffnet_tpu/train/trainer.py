@@ -66,6 +66,24 @@ def load_params(template, path: str):
         return serialization.from_bytes(template, f.read())
 
 
+def save_state(state: "TrainState", path: str):
+    """Full training-state checkpoint (params + optimizer state + step) for
+    exact resume — the counterpart of Lightning's {epoch}-{step}.ckpt
+    (reference ModelCheckpoint, 0_base.py:107-109)."""
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(
+            {"params": state.params, "opt_state": state.opt_state,
+             "step": state.step}))
+
+
+def load_state(template: "TrainState", path: str) -> "TrainState":
+    with open(path, "rb") as f:
+        d = serialization.from_bytes(
+            {"params": template.params, "opt_state": template.opt_state,
+             "step": template.step}, f.read())
+    return TrainState(d["params"], d["opt_state"], d["step"])
+
+
 class Callback:
     def on_train_start(self, trainer, module, state):  # noqa: D102
         pass
@@ -251,11 +269,14 @@ class Trainer:
         return jax.jit(step)
 
     # -- fit --------------------------------------------------------------
-    def fit(self, module, dataloader=None, params=None, val_dataloader=None):
+    def fit(self, module, dataloader=None, params=None, val_dataloader=None,
+            resume_from: str | None = None):
         """Train `module`. If `dataloader` is None, build one from
         `module.dataset` (supports both reference API generations,
         SURVEY.md §1). `val_dataloader` adds a per-epoch val_loss metric
-        (reference validation_step, IBN_2D.py:156-160)."""
+        (reference validation_step, IBN_2D.py:156-160). `resume_from`
+        restores a full state checkpoint written by the trainer
+        (`state.ckpt`) and continues exactly where it stopped."""
         if dataloader is None:
             if module.dataset is None:
                 raise ValueError("no dataloader given and module.dataset is None")
@@ -289,6 +310,8 @@ class Trainer:
         if params is None:
             params = module.init_params(jax.random.key(self.seed), first_batch)
         state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
+        if resume_from:
+            state = load_state(state, resume_from)
 
         if self.round_robin:
             n_obj = module.num_objectives
@@ -338,6 +361,7 @@ class Trainer:
                 self.logger.log(metrics)
             if self.checkpoint:
                 save_params(state.params, os.path.join(self.run_dir, "last.ckpt"))
+                save_state(state, os.path.join(self.run_dir, "state.ckpt"))
                 if epoch_loss < best:
                     best = epoch_loss
                     save_params(state.params, os.path.join(self.run_dir, "best.ckpt"))
