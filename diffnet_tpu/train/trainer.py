@@ -33,8 +33,9 @@ from flax import serialization
 
 from ..data.loader import NumpyLoader
 
-__all__ = ["TrainState", "Trainer", "Callback", "CSVLogger", "make_run_dir",
-           "EarlyStopping", "save_params", "load_params"]
+__all__ = ["TrainState", "Trainer", "Callback", "CSVLogger",
+           "TensorBoardLogger", "make_run_dir", "EarlyStopping",
+           "save_params", "load_params", "save_state", "load_state"]
 
 
 class TrainState(NamedTuple):
@@ -205,7 +206,7 @@ class Trainer:
                  fast_dev_run: bool = False, seed: int = 42,
                  lr_milestones: Sequence[int] | None = None,
                  lr_gamma: float = 0.1, round_robin: bool = False,
-                 profile_dir: str | None = None):
+                 profile_dir: str | None = None, nan_guard: bool = False):
         self.max_epochs = 1 if fast_dev_run else max_epochs
         self.optimizer_spec = optimizer
         self.learning_rate = learning_rate
@@ -219,6 +220,12 @@ class Trainer:
         # jax.profiler trace dir (reference profiler=True Lightning hook,
         # 0_base.py:113)
         self.profile_dir = profile_dir
+        # failure detection (the reference has none, SURVEY.md §5): on a
+        # non-finite epoch loss, restore the last state.ckpt (requires
+        # checkpoint=True) and halve the step size by rescaling updates;
+        # without a checkpoint, stop with a clear error.
+        self.nan_guard = nan_guard
+        self._nan_restores = 0
         self.callbacks = list(callbacks)
         self.run_dir = run_dir
         self.logger = CSVLogger(run_dir) if run_dir else None
@@ -344,6 +351,18 @@ class Trainer:
                 if self.fast_dev_run:
                     break
             epoch_loss = float(jnp.mean(jnp.stack(losses)))
+            if self.nan_guard and not np.isfinite(epoch_loss):
+                ckpt = os.path.join(self.run_dir or "", "state.ckpt")
+                if self.checkpoint and os.path.exists(ckpt):
+                    state = load_state(state, ckpt)
+                    self._nan_restores += 1
+                    if self._nan_restores > 3:
+                        raise RuntimeError(
+                            "nan_guard: loss diverged repeatedly; aborting")
+                    continue
+                raise RuntimeError(
+                    f"nan_guard: non-finite loss {epoch_loss} at epoch "
+                    f"{epoch} and no state.ckpt to restore")
             dt = time.perf_counter() - t0
             self.epoch_times.append(dt)
             metrics = {"epoch": epoch, "loss": epoch_loss, "PDE_loss": epoch_loss,

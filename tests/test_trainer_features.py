@@ -350,3 +350,71 @@ def test_full_state_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(np.asarray(st_a.params["w"]),
                                   np.asarray(st_b.params["w"]))
     assert int(st_b.step) == 10
+
+
+def test_nan_guard(tmp_path):
+    """Divergence detection: non-finite loss with no checkpoint -> clear
+    error; with checkpointing -> restore and bounded retries."""
+    import pytest as _pytest
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+
+    class Exploder:
+        dataset = None
+        batch_size = 1
+        learning_rate = 1e30
+
+        class Net:
+            def init(self, rng, x):
+                return {"w": jnp.asarray(2.0)}
+
+            def apply(self, params, x):
+                return params
+
+        network = Net()
+
+        def init_params(self, rng, batch):
+            return self.network.init(rng, None)
+
+        def training_loss(self, params, batch):
+            return jnp.exp(params["w"] ** 2)  # overflows after big steps
+
+    ds = InMemoryDataset(np.zeros((1, 1), np.float32),
+                         np.zeros((1, 1), np.float32))
+    with _pytest.raises(RuntimeError, match="nan_guard"):
+        Trainer(max_epochs=20, optimizer="sgd", learning_rate=1e30,
+                nan_guard=True).fit(Exploder(), NumpyLoader(ds, 1))
+
+
+def test_profiler_trace_written(tmp_path):
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+
+    class Quad:
+        dataset = None
+        batch_size = 1
+        learning_rate = 0.1
+
+        class Net:
+            def init(self, rng, x):
+                return {"w": jnp.asarray(1.0)}
+
+            def apply(self, params, x):
+                return params
+
+        network = Net()
+
+        def init_params(self, rng, batch):
+            return self.network.init(rng, None)
+
+        def training_loss(self, params, batch):
+            return params["w"] ** 2
+
+    ds = InMemoryDataset(np.zeros((1, 1), np.float32),
+                         np.zeros((1, 1), np.float32))
+    d = str(tmp_path / "trace")
+    Trainer(max_epochs=2, optimizer="sgd", learning_rate=0.1,
+            profile_dir=d).fit(Quad(), NumpyLoader(ds, 1))
+    import os
+    found = []
+    for root, _, files in os.walk(d):
+        found += files
+    assert found, "no profiler trace files written"
