@@ -48,7 +48,8 @@ def test_gp_eval_second_derivatives_deg2():
     np.testing.assert_allclose(out["d2xy"], 4 * xgp * ygp, rtol=1e-3, atol=4e-3)
 
 
-@pytest.mark.parametrize("nsd,deg", [(1, 1), (2, 1), (2, 2), (3, 1), (3, 2)])
+@pytest.mark.parametrize("nsd,deg", [(1, 1), (2, 1), (2, 2), (2, 3),
+                                     (3, 1), (3, 2), (3, 3)])
 def test_gather_scatter_adjoint(nsd, deg):
     """<gather(u), r> == <u, scatter(r)> — scatter is the exact transpose."""
     rng = np.random.default_rng(0)

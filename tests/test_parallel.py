@@ -125,3 +125,26 @@ def test_explicit_shard_map_residual_matches_global():
     with mesh:
         R = poisson_residual_spatial(u, nu, basis, mesh)
     np.testing.assert_allclose(np.asarray(R), np.asarray(R_ref), atol=2e-5)
+
+
+def test_spatial_sharding_3d():
+    """GSPMD spatial sharding of a 3D field along z matches single-device."""
+    n = 16
+    mesh = make_mesh(data=2, space=4)
+    basis = make_basis(3, 1, h=(1 / (n - 1),) * 3)
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.random((2, n, n, n)), jnp.float32)
+    nu = jnp.ones((2, n, n, n), jnp.float32)
+
+    def f(u, nu):
+        gp = fem.gp_eval(u, basis, ("dx", "dy", "dz"))
+        nug = fem.gp_eval(nu, basis, ("N",))["N"]
+        return fem.galerkin_project_multi(
+            [(nug * gp["dx"], "dx"), (nug * gp["dy"], "dy"),
+             (nug * gp["dz"], "dz")], basis, (n, n, n))
+
+    R_single = jax.jit(f)(u, nu)
+    sh = NamedSharding(mesh, P("data", "space", None, None))
+    R_shard = jax.jit(f)(jax.device_put(u, sh), jax.device_put(nu, sh))
+    np.testing.assert_allclose(np.asarray(R_single), np.asarray(R_shard),
+                               atol=1e-5)
