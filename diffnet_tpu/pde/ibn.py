@@ -42,6 +42,9 @@ class IBNPoisson2D(FEM2DModule):
         # Galerkin-residual variant (09_airfoil.py loss_poisson_windingnumber,
         # examples/eiqonal/parametric/09_airfoil.py:238-291)
         self.ibn_loss_type = ibn_loss_type
+        # 'chi' (default: net consumes the occupancy grid) or 'cloud'
+        # (net consumes the raw point cloud, e.g. DGCNN2D / ImmDiff)
+        self.network_input = kwargs.get("network_input", "chi")
 
     # -- forward ---------------------------------------------------------
     def forward(self, params, batch):
@@ -56,7 +59,14 @@ class IBNPoisson2D(FEM2DModule):
                 (self.domain_lengthX, self.domain_lengthY),
                 threshold=self.winding_threshold)
             source = chi[..., None]  # [B, H, W, 1]
-            u = self.network.apply(params, source)
+            if self.network_input == "cloud":
+                # point-cloud-consuming networks (DGCNN / ImmDiff): the net
+                # maps the raw cloud to the solution grid (reference
+                # IBN_DGCNN2d wrapper, immdiff_networks.py:119-135); the
+                # winding chi is still used for the immersed masking
+                u = self.network.apply(params, cloud[..., 0:2])
+            else:
+                u = self.network.apply(params, source)
             inputs = jnp.concatenate(
                 [jnp.ones_like(source), source, sink], axis=-1)
             return u, inputs, forcing
@@ -66,7 +76,8 @@ class IBNPoisson2D(FEM2DModule):
 
     def init_params(self, rng, sample_batch):
         if self.source_from == "winding":
-            # network consumes the chi grid, not the raw cloud
+            if self.network_input == "cloud":
+                return self.network.init(rng, sample_batch[0][..., 0:2])
             b = sample_batch[0].shape[0]
             chi = jnp.zeros((b, self.domain_sizeY, self.domain_sizeX, 1))
             return self.network.init(rng, chi)

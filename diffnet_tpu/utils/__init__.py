@@ -1,3 +1,9 @@
 from .vti import VtiWriter, write_vti  # noqa: F401
-from .viz import ContourPlotCallback, plot_contours, plot_line_cuts  # noqa: F401
+from .viz import (  # noqa: F401
+    ContourPlotCallback,
+    plot_contours,
+    plot_line_cuts,
+    plot_losses,
+    plot_point_histograms,
+)
 from .xyzna import read_xyzna, write_xyzna  # noqa: F401

@@ -107,3 +107,49 @@ class ContourPlotCallback:
         plot_contours(
             os.path.join(self.out_dir, f"contour_{epoch}.png"),
             {"u": u2})
+
+
+def plot_losses(run_dir, save_name="losses.png", log_scale=True):
+    """Loss curve(s) from the run's metrics.csv (reference
+    examples/poisson/single_instance/utils.py:20-34 plot_losses)."""
+    import csv
+
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    path = os.path.join(run_dir, "metrics.csv")
+    rows = list(csv.DictReader(open(path)))
+    epochs = [int(float(r["epoch"])) for r in rows]
+    fig, ax = plt.subplots(figsize=(5, 3.2))
+    for key in rows[0]:
+        if "loss" in key.lower():
+            ax.plot(epochs, [float(r[key]) for r in rows], label=key)
+    if log_scale:
+        ax.set_yscale("log")
+    ax.set_xlabel("epoch")
+    ax.legend(fontsize=8)
+    out = os.path.join(run_dir, save_name)
+    fig.savefig(out, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+    return out
+
+
+def plot_point_histograms(save_path, histograms, bins=30):
+    """Histograms of the solution value at probe points across a UQ ensemble
+    (reference query.py point-histogram accumulation, :152-158).
+    `histograms`: {point: samples} from train.query.point_histograms."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    pts = list(histograms)
+    fig, axs = plt.subplots(1, len(pts), figsize=(3.0 * len(pts), 2.6),
+                            squeeze=False)
+    for i, pt in enumerate(pts):
+        axs[0][i].hist(np.asarray(histograms[pt]), bins=bins)
+        axs[0][i].set_title(f"u at {pt}", fontsize=9)
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    fig.savefig(save_path, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+    return save_path

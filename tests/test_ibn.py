@@ -105,3 +105,44 @@ def test_ibn_resmin_variant():
     assert np.isfinite(val) and val > 0
     g = jax.grad(lambda u: m.loss(u, inputs, f))(u)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_ibn_dgcnn_cloud_input():
+    """IBN with a point-cloud-consuming network (DGCNN): cloud -> grid
+    solution, winding chi used only for the immersed masks (reference
+    IBN_DGCNN2d wrapper)."""
+    from diffnet_tpu.models.pointnets import DGCNN2D
+    from diffnet_tpu.train.trainer import Trainer
+
+    n = 32
+    ds = SyntheticPointClouds(n_samples=4, n_points=48, domain_size=n)
+    loader = NumpyLoader(ds, batch_size=2)
+    net = DGCNN2D(domain_size=n, k=8, lowest_size=8)
+    m = IBNPoisson2D(net, domain_size=n, batch_size=2,
+                     network_input="cloud", learning_rate=1e-3)
+    st = Trainer(max_epochs=2, optimizer="adam", learning_rate=1e-3).fit(
+        m, loader)
+    batch = jax.tree.map(jnp.asarray, next(iter(loader)))
+    u, inputs, forcing = m.forward(st.params, batch)
+    assert u.shape == (2, n, n, 1)
+    assert np.isfinite(float(m.loss(u, inputs, forcing)))
+
+
+def test_viz_loss_and_histograms(tmp_path):
+    from diffnet_tpu.train.query import point_histograms
+    from diffnet_tpu.utils import plot_losses, plot_point_histograms
+    import csv, os
+
+    run = tmp_path / "r"
+    run.mkdir()
+    with open(run / "metrics.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["epoch", "loss", "val_loss"])
+        w.writeheader()
+        for e in range(5):
+            w.writerow({"epoch": e, "loss": 1.0 / (e + 1),
+                        "val_loss": 2.0 / (e + 1)})
+    p1 = plot_losses(str(run))
+    all_u = np.random.default_rng(0).random((20, 4, 4))
+    h = point_histograms(all_u, [(1, 1), (2, 3)])
+    p2 = plot_point_histograms(str(run / "hist.png"), h)
+    assert os.path.exists(p1) and os.path.exists(p2)
