@@ -4,6 +4,7 @@ solves."""
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -186,3 +187,91 @@ def test_burgers_spacetime_trains():
     st = tr.fit(m)
     loss1 = float(m.training_loss(st.params, batch))
     assert loss1 < loss0 * 0.05, (loss0, loss1)
+
+
+def test_helmholtz_delta_force():
+    """Gaussian near-delta forcing (RectangleHelmholtzDeltaForce): response
+    peaks near the source location (reference rectangles.py:292-327)."""
+    from diffnet_tpu.data.single_instances import RectangleHelmholtzDeltaForce
+
+    n = 32
+    ds = RectangleHelmholtzDeltaForce(domain_size=n)
+    ds.n_samples = 1
+    net = DirectField((n, n), init=np.zeros((n, n)))
+    m = Helmholtz2D(net, ds, domain_size=n, batch_size=1)
+    tr = Trainer(max_epochs=80, optimizer="lbfgs", lbfgs_max_iter=10)
+    st = tr.fit(m)
+    u = np.asarray(m.network.apply(st.params)[0])
+    assert np.isfinite(u).all()
+    peak = np.unravel_index(np.argmax(np.abs(u)), u.shape)
+    # source at (0.1875, 0.1875) -> index ~ 6 of 32 on each axis
+    assert 2 <= peak[0] <= 12 and 2 <= peak[1] <= 12, peak
+
+
+def test_advdiff_2d_skew_to_mesh():
+    """Skew advection (AdvDiff2dRectangle BC split): the inlet value is
+    transported along the advection direction, bounded by SUPG."""
+    from diffnet_tpu.data.single_instances import AdvDiff2dRectangle
+
+    n = 32
+    ds = AdvDiff2dRectangle(domain_size=n)
+    ds.n_samples = 1
+    net = DirectField((n, n), init=np.zeros((n, n)))
+    m = AdvDiff2D(net, ds, adv=(math.cos(math.pi / 6), math.sin(math.pi / 6)),
+                  diffusivity=1e-4, domain_size=n, batch_size=1,
+                  bc1_value=1.0)
+    tr = Trainer(max_epochs=80, optimizer="lbfgs", lbfgs_max_iter=10)
+    st = tr.fit(m)
+    u = np.asarray(m.apply_bcs(m.network.apply(st.params),
+                               jnp.asarray(ds[0][0])[None]))[0]
+    assert np.isfinite(u).all()
+    assert -0.3 < u.min() and u.max() < 1.3      # bounded (SUPG)
+    # downstream of the hot inlet (left wall, upper part) stays hot
+    assert u[n // 2, n // 2] > 0.5
+
+
+def test_spacetime_heat_energy_variant():
+    n = 24
+    ds = SpaceTimeRectangleManufactured(domain_size=n)
+    ds.n_samples = 1
+    decay, nu = ds.decay_rt, ds.diffusivity
+    exact = lambda x, y: np.sin(math.pi * x) * np.exp(-decay * y)
+    forcing = lambda x, y: (np.sin(math.pi * x) * np.exp(-decay * y)
+                            * (nu * math.pi**2 - decay))
+    net = DirectField((n, n), init=np.zeros((n, n)))
+    m = SpaceTimeHeat(net, ds, domain_size=n, batch_size=1,
+                      exact_solution=exact, forcing=forcing, u0=ds.u0,
+                      loss_type="energy")
+    batch = (jnp.asarray(ds[0][0])[None], jnp.asarray(ds[0][1])[None])
+    val = float(m.training_loss(net.init(None), batch))
+    assert np.isfinite(val)
+    g = jax.grad(m.training_loss)(net.init(None), batch)
+    assert float(jnp.abs(g["field"]).max()) > 0
+
+
+def test_parametric_image_training_with_unetres():
+    """Image-ensemble IBN with the residual U-Net."""
+    import PIL.Image
+
+    from diffnet_tpu.data.loader import NumpyLoader
+    from diffnet_tpu.data.parametric import ImageIMBack
+    from diffnet_tpu.models.networks import UNetRes
+    from diffnet_tpu.pde.ibn import IBNPoisson2D
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        for i in range(4):
+            img = np.zeros((32, 32), np.uint8)
+            img[8 + i:20 + i, 10:22] = 255
+            PIL.Image.fromarray(img).save(os.path.join(d, f"s{i}.png"))
+        ds = ImageIMBack(d)
+        net = UNetRes(out_channels=1, hidden=(4, 8), n_resblocks=1,
+                      n_dilated=1)
+        m = IBNPoisson2D(net, source_from="inputs", domain_size=32,
+                         batch_size=2, learning_rate=1e-3)
+        st = Trainer(max_epochs=2, optimizer="adam",
+                     learning_rate=1e-3).fit(m, NumpyLoader(ds, 2))
+        batch = tuple(jnp.asarray(a) for a in
+                      next(iter(NumpyLoader(ds, 2))))
+        u, inputs, forcing = m.forward(st.params, batch)
+        assert np.isfinite(float(m.loss(u, inputs, forcing)))
