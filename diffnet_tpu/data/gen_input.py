@@ -117,3 +117,16 @@ def generate_diffusivity_tensor(coeff, output_size=64, nsd=2, n_sum_nu=6):
         xv, yv, zv = grid3D(n, n, n)
         kl = construct_KL_sum_3D(xv[None], yv[None], zv[None], coeffs)
     return np.exp(kl)
+
+
+def sobol_coefficients(n_samples, dim=6, scale=0.5, seed=0):
+    """Quasi-random (Sobol) KL coefficient samples — generates what the
+    reference ships as precomputed assets (examples/poisson/parametric/
+    sobol_4d.npy / sobol_6d.npy, consumed by KLSumStochastic and the UQ
+    query pipeline). Values are mapped from [0,1]^dim to
+    [-scale, scale]^dim."""
+    from scipy.stats import qmc
+
+    eng = qmc.Sobol(d=dim, scramble=True, seed=seed)
+    u = eng.random(n_samples)
+    return ((u - 0.5) * 2.0 * scale).astype(np.float32)

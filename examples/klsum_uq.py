@@ -32,9 +32,11 @@ def main():
     from diffnet_tpu.utils import plot_contours
 
     n = args.domain_size
-    rng = np.random.default_rng(0)
-    train_coeffs = rng.normal(0, 0.5, (args.n_train, 6))
-    query_coeffs = rng.normal(0, 0.5, (args.n_query, 6))
+    from diffnet_tpu.data.gen_input import sobol_coefficients
+
+    # Sobol low-discrepancy sampling, as in the reference's sobol_6d.npy
+    train_coeffs = sobol_coefficients(args.n_train, dim=6, seed=0)
+    query_coeffs = sobol_coefficients(args.n_query, dim=6, seed=1)
     train_ds = KLSumStochastic(train_coeffs, domain_size=n)
     module = Poisson2D(
         GoodNetwork(in_dim=n, out_dim=n, out_channels=1, filters=8),

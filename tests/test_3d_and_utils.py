@@ -177,3 +177,13 @@ def test_eikonal_fdm_variant():
     import jax as _jax
     g = _jax.grad(lambda u: m.loss(u, cloud, None))(u)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_sobol_coefficients():
+    from diffnet_tpu.data.gen_input import sobol_coefficients
+
+    c = sobol_coefficients(64, dim=6, scale=0.5, seed=0)
+    assert c.shape == (64, 6)
+    assert (np.abs(c) <= 0.5).all()
+    # low-discrepancy: per-dimension mean near zero faster than random
+    assert np.abs(c.mean(0)).max() < 0.05
