@@ -52,10 +52,16 @@ class ElasticFSDT(FEM2DModule):
         return w, px, py
 
     def calc_residuals(self, pred, inputs_tensor, forcing_tensor):
+        from ..core import fem
+
         w, phi_x, phi_y, bc2 = self._apply_field_bcs(pred, inputs_tensor)
-        wgp = self.gp_all(w, ("N", "dx", "dy"))
-        pxgp = self.gp_all(phi_x, ("N", "dx", "dy"))
-        pygp = self.gp_all(phi_y, ("N", "dx", "dy"))
+        # one stacked contraction for all three fields (cf. flow.py)
+        quants = ("N", "dx", "dy")
+        allgp = fem.gp_eval_stacked(jnp.stack([w, phi_x, phi_y], 0),
+                                    self.basis, quants)
+        wgp = {q: allgp[0, ..., i, :] for i, q in enumerate(quants)}
+        pxgp = {q: allgp[1, ..., i, :] for i, q in enumerate(quants)}
+        pygp = {q: allgp[2, ..., i, :] for i, q in enumerate(quants)}
 
         Q_x = self.K_s * self.A_55 * (pxgp["N"] + wgp["dx"])
         Q_y = self.K_s * self.A_44 * (pygp["N"] + wgp["dy"])
