@@ -325,11 +325,16 @@ class Trainer:
             step_fns = [self._build_objective_step(module, opt, i, is_lbfgs)
                         for i in range(n_obj)]
             rr_counter = [0]
+            self.objective_losses = {i: [] for i in range(n_obj)}
 
             def step_fn(state, batch):
                 i = rr_counter[0] % n_obj
                 rr_counter[0] += 1
-                return step_fns[i](state, batch)
+                state, loss = step_fns[i](state, batch)
+                # per-objective series (reference logs loss_u/v/p,
+                # e1_ns_ldc_resmin.py:326-328)
+                self.objective_losses[i].append(float(loss))
+                return state, loss
         else:
             step_fn = self._build_step(module, opt, is_lbfgs)
 
@@ -367,6 +372,10 @@ class Trainer:
             self.epoch_times.append(dt)
             metrics = {"epoch": epoch, "loss": epoch_loss, "PDE_loss": epoch_loss,
                        "time_sec": dt}
+            if self.round_robin and getattr(self, "objective_losses", None):
+                for i, series in self.objective_losses.items():
+                    if series:
+                        metrics[f"loss_obj{i}"] = series[-1]
             if val_dataloader is not None:
                 cached = getattr(self, "_val_fn", None)
                 if cached is None or cached[0] is not module:
