@@ -195,6 +195,11 @@ class _FEMMixin:
     def gauss_pt_evaluation_der2_zx(self, u):
         return fem.gp_eval(u, self.basis, ("d2zx",))["d2zx"]
 
+    def gauss_pt_evaluation_surf(self, u_line, quantities=("N",)):
+        """Facet/edge-trace Gauss evaluation of a 1D nodal line (reference
+        gauss_pt_evaluation_surf, DiffNetFEM.py:146-147)."""
+        return fem.gp_eval_1d(u_line, self.basis, quantities)
+
     # -- assembly --------------------------------------------------------
     def assemble(self, integrand_gp, quantity="N", apply_jxw=True):
         """Galerkin-project a GP integrand onto test functions and scatter
