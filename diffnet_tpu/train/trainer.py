@@ -449,3 +449,27 @@ class Trainer:
             return TrainState(params, opt_state, state.step + 1), loss
 
         return jax.jit(step)
+
+
+def save_state_orbax(state: "TrainState", path: str):
+    """Orbax-backed full-state checkpoint (async-capable, sharding-aware —
+    the standard JAX ecosystem checkpointer; use for multi-host/pod runs
+    where flax-bytes serialization doesn't capture shardings)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path),
+               {"params": state.params, "opt_state": state.opt_state,
+                "step": state.step})
+    ckptr.wait_until_finished()
+
+
+def load_state_orbax(template: "TrainState", path: str) -> "TrainState":
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    d = ckptr.restore(os.path.abspath(path),
+                      {"params": template.params,
+                       "opt_state": template.opt_state,
+                       "step": template.step})
+    return TrainState(d["params"], d["opt_state"], d["step"])

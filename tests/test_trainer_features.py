@@ -418,3 +418,21 @@ def test_profiler_trace_written(tmp_path):
     for root, _, files in os.walk(d):
         found += files
     assert found, "no profiler trace files written"
+
+
+def test_orbax_state_roundtrip(tmp_path):
+    import optax
+    from diffnet_tpu.train.trainer import (TrainState, load_state_orbax,
+                                           save_state_orbax)
+
+    params = {"w": jnp.asarray([1.0, 2.0]), "b": jnp.asarray(3.0)}
+    opt = optax.adam(1e-3)
+    st = TrainState(params, opt.init(params), jnp.asarray(7, jnp.int32))
+    p = str(tmp_path / "ckpt")
+    save_state_orbax(st, p)
+    st2 = load_state_orbax(
+        TrainState(jax.tree.map(jnp.zeros_like, params),
+                   opt.init(jax.tree.map(jnp.zeros_like, params)),
+                   jnp.asarray(0, jnp.int32)), p)
+    np.testing.assert_array_equal(np.asarray(st2.params["w"]), [1.0, 2.0])
+    assert int(st2.step) == 7
