@@ -119,6 +119,18 @@ class _FEMMixin:
     def _setup_fem(self, **kwargs):
         self.fem_basis_deg = kwargs.get("fem_basis_deg", 1)
         deg = self.fem_basis_deg
+        # the reference asserts (size-1) % deg == 0 (DiffNetFEM.py:67,104);
+        # without it, trailing rows/cols are silently dropped by the
+        # strided element gather
+        for name, size in (("X", self.domain_sizeX), ("Y", self.domain_sizeY)):
+            if (size - 1) % deg:
+                raise ValueError(
+                    f"domain_size{name}={size} incompatible with "
+                    f"fem_basis_deg={deg}: need (size-1) % deg == 0")
+        if self.nsd == 3 and (self.domain_sizeZ - 1) % deg:
+            raise ValueError(
+                f"domain_sizeZ={self.domain_sizeZ} incompatible with "
+                f"fem_basis_deg={deg}: need (size-1) % deg == 0")
         self.nbf_1d = deg + 1
         self.nbf_total = self.nbf_1d**self.nsd
         self.nelemX = int((self.domain_sizeX - 1) / deg)

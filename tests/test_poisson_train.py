@@ -152,3 +152,12 @@ def test_trainer_run_dir_and_csv(tmp_path):
     assert os.path.exists(os.path.join(run_dir, "last.ckpt"))
     run_dir2 = make_run_dir(str(tmp_path), "poisson")
     assert run_dir2.endswith("version_1")
+
+
+def test_incompatible_grid_degree_raises():
+    """(size-1) % deg != 0 raises up front instead of silently truncating
+    (the reference asserts the same, DiffNetFEM.py:67,104)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="incompatible"):
+        Poisson2D(None, None, domain_size=10, fem_basis_deg=2)
