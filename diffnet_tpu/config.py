@@ -84,3 +84,47 @@ def config_from_args(args: argparse.Namespace) -> RunConfig:
         if k in known:
             kw[k] = tuple(v) if isinstance(v, list) else v
     return RunConfig(**kw)
+
+
+def _parse_inp(text: str) -> dict:
+    """Minimal libconf-style `.inp` parser for flat `key = value;` configs
+    (the reference's conf_e8_2d.inp / conf_e8_poisson3d.inp format, loaded
+    with the libconf package which this image doesn't ship)."""
+    out: dict[str, Any] = {}
+    for raw in text.splitlines():
+        line = raw.split("#")[0].split("//")[0].strip().rstrip(";")
+        if not line or "=" not in line:
+            continue
+        key, val = (p.strip() for p in line.split("=", 1))
+        if val.startswith('"') and val.endswith('"'):
+            out[key] = val[1:-1]
+        elif val.lower() in ("true", "false"):
+            out[key] = val.lower() == "true"
+        else:
+            try:
+                out[key] = int(val)
+            except ValueError:
+                try:
+                    out[key] = float(val)
+                except ValueError:
+                    out[key] = val
+    return out
+
+
+def config_from_inp(path: str, base: RunConfig | None = None) -> RunConfig:
+    """Load a reference-style .inp file into a RunConfig (unknown keys are
+    kept in `extras`-style attributes via replace-compatible dict)."""
+    with open(path) as f:
+        raw = _parse_inp(f.read())
+    cfg = base or RunConfig()
+    known = {f.name for f in dataclasses.fields(RunConfig)}
+    # map common reference key spellings
+    alias = {"LR": "learning_rate", "max_epochs": "max_epochs",
+             "domain_size": "domain_size", "loss_type": "loss_type",
+             "optimizer": "optimizer"}
+    kw = {}
+    for k, v in raw.items():
+        k2 = alias.get(k, k)
+        if k2 in known:
+            kw[k2] = v
+    return cfg.replace(**kw)

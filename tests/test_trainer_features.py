@@ -436,3 +436,18 @@ def test_orbax_state_roundtrip(tmp_path):
                    jnp.asarray(0, jnp.int32)), p)
     np.testing.assert_array_equal(np.asarray(st2.params["w"]), [1.0, 2.0])
     assert int(st2.step) == 7
+
+
+def test_inp_config_parser(tmp_path):
+    """Reference-style .inp configs load into RunConfig (conf_e8_2d.inp
+    format, parsed without the libconf dependency)."""
+    from diffnet_tpu.config import config_from_inp
+
+    p = tmp_path / "conf.inp"
+    p.write_text('domain_size = 32;\nmax_epochs = 500;\nLR = 0.001;\n'
+                 'loss_type = "resmin";\noptimizer = "lbfgs";\n')
+    cfg = config_from_inp(str(p))
+    assert cfg.domain_size == 32
+    assert cfg.max_epochs == 500
+    assert abs(cfg.learning_rate - 1e-3) < 1e-12
+    assert cfg.loss_type == "resmin" and cfg.optimizer == "lbfgs"
