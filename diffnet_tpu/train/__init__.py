@@ -1,3 +1,4 @@
+from .continuation import coarse_to_fine, prolong_field  # noqa: F401
 from .query import calc_mean_stddev, query_batched, query_statistical  # noqa: F401
 from .trainer import (  # noqa: F401
     Callback,
