@@ -42,15 +42,26 @@ def main():
     ref = (np.loadtxt(ref_path, delimiter=",", skiprows=1)
            if os.path.exists(ref_path) else None)
 
+    from diffnet_tpu.train.continuation import coarse_to_fine
+
     n = args.domain_size
+
+    def factory(nn_):
+        ds = NSLDCDataset(domain_sizes=(nn_, nn_), Re=args.re)
+        ds.n_samples = 1
+        u_bc, v_bc, p_bc = ldc_bcs((nn_, nn_))
+        net = DirectField((nn_, nn_), init=np.zeros((nn_, nn_)), n_fields=3)
+        m_ = NavierStokes(net, ds, domain_size=nn_, batch_size=1, Re=args.re,
+                          u_bc=u_bc, v_bc=v_bc, p_bc=p_bc,
+                          loss_norm="squared")
+        return m_, net
+
+    # coarse-to-fine continuation for fine grids (see train/continuation.py)
+    grids = [48, n] if n > 48 else [n]
+    epochs = ([args.max_epochs, args.max_epochs]
+              if len(grids) == 2 else [args.max_epochs])
+    m, st = coarse_to_fine(factory, grids=grids, epochs=epochs)
     ds = NSLDCDataset(domain_sizes=(n, n), Re=args.re)
-    ds.n_samples = 1
-    u_bc, v_bc, p_bc = ldc_bcs((n, n))
-    m = NavierStokes(DirectField((n, n), init=np.zeros((n, n)), n_fields=3),
-                     ds, domain_size=n, batch_size=1, Re=args.re,
-                     u_bc=u_bc, v_bc=v_bc, p_bc=p_bc, loss_norm="squared")
-    st = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",
-                 lbfgs_max_iter=10).fit(m)
     inputs = jnp.asarray(ds[0][0])[None]
     u, v, _ = m.apply_bcs(m.network.apply(st.params, inputs), inputs)
     u = np.asarray(u)[0]
