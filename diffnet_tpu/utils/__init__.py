@@ -7,3 +7,4 @@ from .viz import (  # noqa: F401
     plot_point_histograms,
 )
 from .xyzna import read_xyzna, write_xyzna  # noqa: F401
+from .export import export_forward, load_exported, save_exported  # noqa: F401

@@ -187,3 +187,23 @@ def test_sobol_coefficients():
     assert (np.abs(c) <= 0.5).all()
     # low-discrepancy: per-dimension mean near zero faster than random
     assert np.abs(c.mean(0)).max() < 0.05
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    """Serving export: serialize the trained forward to StableHLO, reload
+    WITHOUT model code, and get identical outputs."""
+    import jax
+    from diffnet_tpu.models.networks import ImplicitConv
+    from diffnet_tpu.utils.export import (export_forward, load_exported,
+                                          save_exported)
+
+    net = ImplicitConv(width=8, depth=3)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 16, 16, 2)),
+                    jnp.float32)
+    params = net.init(jax.random.key(0), x)
+    y_ref = net.apply(params, x)
+    exp = export_forward(net, params, x)
+    p = save_exported(exp, str(tmp_path / "model.stablehlo"))
+    loaded = load_exported(p)
+    y = loaded.call(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-6)
