@@ -166,7 +166,7 @@ def _guarded():
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--inner"],
             capture_output=True, text=True,
-            timeout=int(os.environ.get("DIFFNET_BENCH_TIMEOUT", "900")))
+            timeout=int(os.environ.get("DIFFNET_BENCH_TIMEOUT", "2400")))
         for line in out.stdout.splitlines():
             line = line.strip()
             if line.startswith("{"):
