@@ -1,0 +1,278 @@
+"""Pallas TPU kernel: fully-fused Navier-Stokes VMS residual assembly.
+
+The reference NS step (examples/navier-stokes/single_instance/
+e1_ns_ldc_resmin.py:176-308) evaluates 13 Gauss-point quantities (u, v:
+N/dx/dy/d2x/d2y; p: N/dx/dy) as 13 separate convolutions, forms the VMS
+integrands, and runs three 3-term Galerkin projections + scatter
+assemblies — re-reading the fields from HBM at every op. The XLA path in
+:mod:`diffnet_tpu.pde.flow` already collapses this to one contraction +
+three fused projections; this kernel goes the rest of the way: ONE pass
+over HBM computes all Gauss-point values, all VMS stabilization terms
+(tau_m/tau_c from the element metric, cross terms, Reynolds stress, PSPG,
+grad-div), and the Q1 assembly of all three residuals. HBM traffic is
+u + v + p (+ optional fx + fy) in, R1 + R2 + R3 out.
+
+Deg-1 (bilinear, 2x2 Gauss) only — the reference's configuration for every
+NS/Stokes benchmark (LDC 64^2, FPC 256x128). For Q1 elements the basis
+second derivatives vanish identically, so the viscous Laplacian drops out
+of the *strong* residual exactly as in the reference at deg 1 (the weak
+viscous term is retained through the dx/dy projections).
+
+Forcing is passed as NODAL fields (interpolated at Gauss points through the
+same Q1 basis — exact to the discretization order); `None` means zero
+(the LDC case).
+
+Differentiable via custom VJP: the forward runs the fused kernel, the
+backward differentiates the mathematically-identical XLA path
+(:func:`ns_vms_residual_xla`) — the VMS residual is nonlinear, so a
+hand-derived in-kernel adjoint would buy little over XLA's own fused
+backward here, and this keeps gradients bit-comparable with the
+production path (advective field detached inside tau, both paths).
+
+STATUS: interpret-mode validated against the XLA path (values and VJP —
+tests/test_pallas_kernel.py). On-device launch gated pending a standard
+(non-axon-relay) TPU runtime, same as the other kernels in this family.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import fem
+from ..core.quadrature import FEMBasis
+from .poisson_residual import _build_tables
+
+__all__ = ["ns_vms_residual_fused", "ns_vms_residual_xla"]
+
+
+def ns_vms_residual_xla(u, v, p, fx, fy, basis: FEMBasis, visco: float):
+    """Pure-XLA VMS residual on nodal fields (reference
+    e1_ns_ldc_resmin.py:241-300 semantics; advection detached in tau).
+
+    Returns the three UNMASKED assembled residuals; Dirichlet rows are the
+    caller's concern (as in :meth:`diffnet_tpu.pde.flow.StokesNSBase.
+    calc_residuals`)."""
+    n_shape = u.shape[-2:]
+    hx, hy = basis.h
+    quants = ("N", "dx", "dy", "d2x", "d2y")
+    stacked = jnp.stack([u, v, p], axis=0)
+    allgp = fem.gp_eval_stacked(stacked, basis, quants)
+    ug = {q: allgp[0, ..., i, :] for i, q in enumerate(quants)}
+    vg = {q: allgp[1, ..., i, :] for i, q in enumerate(quants)}
+    pg = {q: allgp[2, ..., i, :] for i, q in enumerate(quants)}
+    if fx is None:
+        f1 = f2 = jnp.zeros_like(ug["N"])
+    else:
+        f1 = fem.gp_eval(fx, basis, ("N",))["N"]
+        f2 = fem.gp_eval(fy, basis, ("N",))["N"]
+
+    uN, ux, uy = ug["N"], ug["dx"], ug["dy"]
+    vN, vx, vy = vg["N"], vg["dx"], vg["dy"]
+    pN, px, py = pg["N"], pg["dx"], pg["dy"]
+    div = ux + vy
+    adv1 = uN * ux + vN * uy
+    adv2 = uN * vx + vN * vy
+    res1 = adv1 - visco * (ug["d2x"] + ug["d2y"]) + px - f1
+    res2 = adv2 - visco * (vg["d2x"] + vg["d2y"]) + py - f2
+
+    ud = jax.lax.stop_gradient(uN)
+    vd = jax.lax.stop_gradient(vN)
+    Gxx, Gyy = 4.0 / hx**2, 4.0 / hy**2
+    temp = jnp.sqrt(Gxx * ud**2 + Gyy * vd**2
+                    + 36.0 * visco**2 * (Gxx**2 + Gyy**2))
+    taum = 1.0 / temp
+    tauc = temp / (Gxx + Gyy)
+
+    def asm(terms):
+        return fem.galerkin_project_multi(terms, basis, n_shape)
+
+    R1 = asm([(adv1 - f1 - taum * (res1 * ux + res2 * uy), "N"),
+              (visco * ux - pN + taum * uN * res1
+               - taum**2 * res1 * res1 + tauc * div, "dx"),
+              (visco * uy + taum * vN * res1 - taum**2 * res1 * res2, "dy")])
+    R2 = asm([(adv2 - f2 - taum * (res1 * vx + res2 * vy), "N"),
+              (visco * vx + taum * uN * res2 - taum**2 * res2 * res1, "dx"),
+              (visco * vy - pN + taum * vN * res2
+               - taum**2 * res2 * res2 + tauc * div, "dy")])
+    R3 = asm([(div, "N"), (taum * res1, "dx"), (taum * res2, "dy")])
+    return R1, R2, R3
+
+
+def _kernel(u_hbm, v_hbm, p_hbm, fx_hbm, fy_hbm,
+            r1_ref, r2_ref, r3_ref,
+            u_s, v_s, p_s, fx_s, fy_s, sems,
+            *, tables, TY, n, nel, hx, hy, visco, has_f):
+    NT, DXT, DYT, jxw = tables
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    row0 = t * TY
+    srcs = [(u_hbm, u_s), (v_hbm, v_s), (p_hbm, p_s)]
+    if has_f:
+        srcs += [(fx_hbm, fx_s), (fy_hbm, fy_s)]
+    cps = [pltpu.make_async_copy(h.at[b, pl.ds(row0, TY + 8), :], s,
+                                 sems.at[i]) for i, (h, s) in enumerate(srcs)]
+    for c in cps:
+        c.start()
+    for c in cps:
+        c.wait()
+
+    def corners(s):
+        a = s[: TY + 2, : nel + 1]
+        return (a[:-1, :-1], a[:-1, 1:], a[1:, :-1], a[1:, 1:])
+
+    uc = corners(u_s)
+    vc = corners(v_s)
+    pc = corners(p_s)
+    if has_f:
+        f1c = corners(fx_s)
+        f2c = corners(fy_s)
+
+    e_row = (jax.lax.broadcasted_iota(jnp.int32, (TY + 1, nel), 0)
+             + row0 - 1)
+    e_col = jax.lax.broadcasted_iota(jnp.int32, (TY + 1, nel), 1)
+    dt = u_s.dtype
+    valid = (jnp.logical_and(e_row >= 0, e_row < nel)
+             & (e_col < nel)).astype(dt)
+
+    Gxx, Gyy = 4.0 / hx**2, 4.0 / hy**2
+    diff_part = 36.0 * visco**2 * (Gxx**2 + Gyy**2)
+
+    acc1 = [None] * 4
+    acc2 = [None] * 4
+    acc3 = [None] * 4
+    for g in range(4):
+        def at_gp(c, tab=NT[g]):
+            return sum(tab[k] * c[k] for k in range(4))
+
+        uN = at_gp(uc)
+        ux = at_gp(uc, DXT[g])
+        uy = at_gp(uc, DYT[g])
+        vN = at_gp(vc)
+        vx = at_gp(vc, DXT[g])
+        vy = at_gp(vc, DYT[g])
+        pN = at_gp(pc)
+        px = at_gp(pc, DXT[g])
+        py = at_gp(pc, DYT[g])
+        if has_f:
+            f1 = at_gp(f1c)
+            f2 = at_gp(f2c)
+
+        div = ux + vy
+        adv1 = uN * ux + vN * uy
+        adv2 = uN * vx + vN * vy
+        res1 = adv1 + px - (f1 if has_f else 0.0)
+        res2 = adv2 + py - (f2 if has_f else 0.0)
+        temp = jnp.sqrt(Gxx * uN * uN + Gyy * vN * vN + diff_part)
+        taum = 1.0 / temp
+        tauc = temp / (Gxx + Gyy)
+        t2 = taum * taum
+
+        i1N = adv1 - (f1 if has_f else 0.0) - taum * (res1 * ux + res2 * uy)
+        i1x = (visco * ux - pN + taum * uN * res1
+               - t2 * res1 * res1 + tauc * div)
+        i1y = visco * uy + taum * vN * res1 - t2 * res1 * res2
+        i2N = adv2 - (f2 if has_f else 0.0) - taum * (res1 * vx + res2 * vy)
+        i2x = visco * vx + taum * uN * res2 - t2 * res2 * res1
+        i2y = (visco * vy - pN + taum * vN * res2
+               - t2 * res2 * res2 + tauc * div)
+        i3N = div
+        i3x = taum * res1
+        i3y = taum * res2
+
+        w = jxw[g]
+        for ibf in range(4):
+            cN, cx, cy = w * NT[g][ibf], w * DXT[g][ibf], w * DYT[g][ibf]
+
+            def add(acc, iN, ix, iy):
+                c = cN * iN + cx * ix + cy * iy
+                return c if acc is None else acc + c
+
+            acc1[ibf] = add(acc1[ibf], i1N, i1x, i1y)
+            acc2[ibf] = add(acc2[ibf], i2N, i2x, i2y)
+            acc3[ibf] = add(acc3[ibf], i3N, i3x, i3y)
+
+    for acc, out_ref in ((acc1, r1_ref), (acc2, r2_ref), (acc3, r3_ref)):
+        a = [x * valid for x in acc]
+        left = a[0][1:, :] + a[2][:TY, :]
+        right = a[1][1:, :] + a[3][:TY, :]
+        out_ref[0] = jnp.zeros((TY, n), dt)
+        out_ref[0, :, :nel] = left
+        out_ref[0, :, 1:] = out_ref[0, :, 1:] + right
+
+
+def _ns_fwd_impl(u, v, p, fx, fy, basis: FEMBasis, visco: float,
+                 tile_y: int = 128):
+    B, n, _ = u.shape
+    nel = n - 1
+    hx, hy = basis.h
+    has_f = fx is not None
+    TY = min(tile_y, -(-n // 8) * 8)
+    ntiles = -(-n // TY)
+    assert TY % 8 == 0 or TY == n, "tile_y must be a multiple of 8"
+    pad_rows = ntiles * TY + 8
+    CP = -(-n // 128) * 128
+    cfg = ((0, 0), (1, pad_rows - n - 1), (0, CP - n))
+    fields = [u, v, p] + ([fx, fy] if has_f else [])
+    padded = [jnp.pad(f, cfg) for f in fields]
+    if not has_f:
+        # dummy 1-element operands keep the kernel signature static
+        dummy = jnp.zeros((B, pad_rows, CP), u.dtype)
+        padded += [dummy, dummy]
+    tables = _build_tables(basis)
+
+    scratch = [pltpu.VMEM((TY + 8, CP), u.dtype) for _ in range(5)]
+    out_spec = pl.BlockSpec((1, TY, n), lambda b, t: (b, t, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, ntiles * TY, n), u.dtype)
+    R1, R2, R3 = pl.pallas_call(
+        partial(_kernel, tables=tables, TY=TY, n=n, nel=nel,
+                hx=float(hx), hy=float(hy), visco=float(visco), has_f=has_f),
+        grid=(B, ntiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        out_specs=[out_spec] * 3,
+        out_shape=[out_shape] * 3,
+        scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((5,))],
+        cost_estimate=pl.CostEstimate(
+            flops=int(700 * B * nel * nel),
+            bytes_accessed=int((6 + 2 * has_f) * 4 * B * n * n),
+            transcendentals=int(4 * B * nel * nel)),
+    )(*padded)
+    return R1[:, :n], R2[:, :n], R3[:, :n]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def ns_vms_residual_fused(u, v, p, fx, fy, basis: FEMBasis, visco: float,
+                          tile_y: int = 128):
+    """(R1, R2, R3) = assembled VMS Navier-Stokes residuals of nodal
+    (u, v, p) [B, n, n] with optional nodal forcing (fx, fy).
+
+    Matches :func:`ns_vms_residual_xla` (and hence the production
+    `StokesNSBase.calc_residuals` NS branch) to round-off; pinned by
+    tests."""
+    return _ns_fwd_impl(u, v, p, fx, fy, basis, visco, tile_y)
+
+
+def _fwd(u, v, p, fx, fy, basis, visco, tile_y):
+    return (_ns_fwd_impl(u, v, p, fx, fy, basis, visco, tile_y),
+            (u, v, p, fx, fy))
+
+
+def _bwd(basis, visco, tile_y, res, g):
+    u, v, p, fx, fy = res
+    if fx is None:
+        _, vjp = jax.vjp(
+            lambda u, v, p: ns_vms_residual_xla(u, v, p, None, None, basis,
+                                                visco), u, v, p)
+        return vjp(g) + (None, None)
+    _, vjp = jax.vjp(
+        lambda *a: ns_vms_residual_xla(*a, basis, visco), u, v, p, fx, fy)
+    return vjp(g)
+
+
+ns_vms_residual_fused.defvjp(_fwd, _bwd)

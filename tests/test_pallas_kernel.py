@@ -72,3 +72,110 @@ def test_residual_fused_full():
     R = pr.poisson_residual_fused(u, nu, Nf, bc, basis, tile)
     R_ref = jnp.where(bc > 0.5, 0.0, _K_xla(u, nu, basis, n) - Nf)
     np.testing.assert_allclose(np.asarray(R), np.asarray(R_ref), atol=2e-6)
+
+
+def _energy_xla(u, nu, f, basis):
+    gp = fem.gp_eval(u, basis, ("N", "dx", "dy"))
+    nug = fem.gp_eval(nu, basis, ("N",))["N"]
+    fg = fem.gp_eval(f, basis, ("N",))["N"]
+    jxw = jnp.asarray(basis.jxw, u.dtype)
+    res = jxw * (0.5 * nug * (gp["dx"] ** 2 + gp["dy"] ** 2) - gp["N"] * fg)
+    return jnp.mean(jnp.sum(res, axis=-1))
+
+
+@pytest.mark.parametrize("n,tile", [(33, 16), (40, 16), (65, 64)])
+def test_energy_fused_matches_xla(n, tile):
+    import diffnet_tpu.ops.poisson_energy as pe
+
+    basis = make_basis(2, 1, h=(1 / (n - 1),) * 2)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.random((2, n, n)), jnp.float32)
+    nu = jnp.asarray(rng.random((2, n, n)), jnp.float32)
+    f = jnp.asarray(rng.random((2, n, n)), jnp.float32)
+    Ex = _energy_xla(u, nu, f, basis)
+    Ep = pe._energy_fwd_impl(u, nu, f, basis, tile)
+    np.testing.assert_allclose(float(Ep), float(Ex), rtol=2e-5)
+
+
+def test_energy_fused_vjp_matches_xla():
+    import diffnet_tpu.ops.poisson_energy as pe
+
+    n, tile = 33, 16
+    basis = make_basis(2, 1, h=(1 / (n - 1),) * 2)
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.random((1, n, n)), jnp.float32)
+    nu = jnp.asarray(0.5 + rng.random((1, n, n)), jnp.float32)
+    f = jnp.asarray(rng.random((1, n, n)), jnp.float32)
+    g1 = jax.grad(lambda u, nu, f: _energy_xla(u, nu, f, basis),
+                  argnums=(0, 1, 2))(u, nu, f)
+    g2 = jax.grad(
+        lambda u, nu, f: pe.poisson_energy_fused(u, nu, f, basis, tile),
+        argnums=(0, 1, 2))(u, nu, f)
+    for a, b in zip(g2, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+@pytest.mark.parametrize("n,tile,with_f", [(33, 16, False), (40, 16, True),
+                                           (65, 64, False)])
+def test_ns_vms_fused_matches_xla(n, tile, with_f):
+    import diffnet_tpu.ops.ns_residual as nr
+
+    basis = make_basis(2, 1, h=(1 / (n - 1),) * 2)
+    rng = np.random.default_rng(5)
+    u, v, p = (jnp.asarray(rng.random((2, n, n)), jnp.float32)
+               for _ in range(3))
+    fx = fy = None
+    if with_f:
+        fx, fy = (jnp.asarray(rng.random((2, n, n)), jnp.float32)
+                  for _ in range(2))
+    visco = 0.01
+    Rx = nr.ns_vms_residual_xla(u, v, p, fx, fy, basis, visco)
+    Rp = nr._ns_fwd_impl(u, v, p, fx, fy, basis, visco, tile)
+    for a, b in zip(Rp, Rx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_ns_vms_fused_vjp_matches_xla():
+    import diffnet_tpu.ops.ns_residual as nr
+
+    n, tile, visco = 33, 16, 0.01
+    basis = make_basis(2, 1, h=(1 / (n - 1),) * 2)
+    rng = np.random.default_rng(6)
+    u, v, p = (jnp.asarray(rng.random((1, n, n)), jnp.float32)
+               for _ in range(3))
+    w1, w2, w3 = (jnp.asarray(rng.random((1, n, n)), jnp.float32)
+                  for _ in range(3))
+
+    def sval(fn):
+        def s(u, v, p):
+            R1, R2, R3 = fn(u, v, p, None, None, basis, visco)
+            return jnp.sum(R1 * w1) + jnp.sum(R2 * w2) + jnp.sum(R3 * w3)
+        return s
+
+    g1 = jax.grad(sval(nr.ns_vms_residual_xla), argnums=(0, 1, 2))(u, v, p)
+    g2 = jax.grad(
+        sval(lambda *a: nr.ns_vms_residual_fused(*a, tile)),
+        argnums=(0, 1, 2))(u, v, p)
+    for a, b in zip(g2, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_ns_xla_standalone_matches_production_path():
+    """ns_vms_residual_xla == StokesNSBase.calc_residuals NS branch
+    (closed-form GP forcing vs nodal-interpolated: use zero forcing)."""
+    from diffnet_tpu.models.field import DirectField
+    from diffnet_tpu.pde.flow import NavierStokes
+    import diffnet_tpu.ops.ns_residual as nr
+
+    n = 17
+    rng = np.random.default_rng(7)
+    mod = NavierStokes(network=DirectField((n, n), n_fields=3),
+                       domain_size=n, Re=100.0, nsd=2)
+    u, v, p = (jnp.asarray(rng.random((1, n, n)), jnp.float32)
+               for _ in range(3))
+    inputs = jnp.zeros((1, n, n, 5), jnp.float32)  # no Dirichlet nodes
+    R_prod = mod.calc_residuals((u, v, p), inputs, None)
+    R_sa = nr.ns_vms_residual_xla(u, v, p, None, None, mod.basis,
+                                  mod.viscosity)
+    for a, b in zip(R_sa, R_prod):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
