@@ -45,12 +45,15 @@ def main():
 
     n = int(os.environ.get("DIFFNET_BENCH_SIZE", "512"))
     bs = int(os.environ.get("DIFFNET_BENCH_BATCH", "8"))
+    # optional dtype variant (e.g. DIFFNET_BENCH_DTYPE=bfloat16); accuracy
+    # impact of bf16 is measured in docs/MIXED_PRECISION.md
+    dt = jnp.dtype(os.environ.get("DIFFNET_BENCH_DTYPE", "float32"))
     h = 1.0 / (n - 1)
     basis = make_basis(2, 1, h=(h, h))
     rng = np.random.default_rng(0)
-    u = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
-    nu = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
-    f_gp = jnp.asarray(rng.random((bs, n - 1, n - 1, 4)), jnp.float32)
+    u = jnp.asarray(rng.random((bs, n, n)), dt)
+    nu = jnp.asarray(rng.random((bs, n, n)), dt)
+    f_gp = jnp.asarray(rng.random((bs, n - 1, n - 1, 4)), dt)
     bc = jnp.zeros((n, n)).at[0, :].set(1.0).at[-1, :].set(1.0)
 
     @jax.jit
@@ -72,7 +75,7 @@ def main():
         outs = []
         x4 = x[:, None, :, :]  # NCHW
         for g in range(table.shape[0]):
-            k = jnp.asarray(table[g].reshape(1, 1, 2, 2))
+            k = jnp.asarray(table[g].reshape(1, 1, 2, 2), x.dtype)
             outs.append(jax.lax.conv_general_dilated(
                 x4, k, window_strides=(1, 1), padding="VALID"))
         return jnp.concatenate(outs, 1)  # [B, ngp, nelY, nelX]
@@ -95,8 +98,9 @@ def main():
 
     elems = bs * (n - 1) * (n - 1)
     evals_per_sec = elems / t_fused
+    suffix = "" if dt == jnp.float32 else f"_{dt.name}"
     result = {
-        "metric": "element_residual_evals_per_sec_512sq_poisson",
+        "metric": "element_residual_evals_per_sec_512sq_poisson" + suffix,
         "value": float(f"{evals_per_sec:.4g}"),
         "unit": "elem/s",
         "vs_baseline": float(f"{t_ref / t_fused:.4g}"),
