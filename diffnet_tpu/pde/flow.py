@@ -67,6 +67,18 @@ class StokesNSBase(FEM2DModule):
         if rs == "auto":
             rs = self.h**2 / self.viscosity if self.viscosity > self.h else 1.0
         self.momentum_scale = float(rs)
+        # Opt-in fused Pallas VMS kernel (ops/ns_residual.py): all 13 GP
+        # quantities + stabilization + 3-residual assembly in one HBM pass.
+        # NS-only, deg-1 2x2-GP, zero body forcing (the LDC/FPC configs).
+        # Default OFF — compiled Pallas launches hang on this image's axon
+        # relay (CLAUDE.md); enable on a standard TPU runtime.
+        self.fused_kernels = bool(kwargs.get("fused_kernels", False))
+        if self.fused_kernels and (self.eq_type != "ns"
+                                   or self.basis.deg != 1
+                                   or self.basis.ngp_1d != 2
+                                   or kwargs.get("forcing") is not None):
+            raise ValueError("fused_kernels supports the forcing-free NS "
+                             "deg-1 2x2-GP configuration only")
         self.pspg_param = self.h**2 * self.Re / 12.0
         # Dirichlet data fields (nodal), defaulting to zero
         zeros = np.zeros(self.node_shape, np.float32)
@@ -104,6 +116,14 @@ class StokesNSBase(FEM2DModule):
         visco = self.viscosity
         u_pred, v_pred, p_pred, bc1, bc2, bc3 = self._apply_field_bcs(
             pred, inputs_tensor)
+        if self.fused_kernels:
+            from ..ops import ns_vms_residual_fused
+            R1, R2, R3 = ns_vms_residual_fused(
+                u_pred, v_pred, p_pred, None, None, self.basis, visco)
+            R1 = jnp.where(bc1 > 0.5, jnp.zeros_like(R1), R1)
+            R2 = jnp.where(bc2 > 0.5, jnp.zeros_like(R2), R2)
+            R3 = jnp.where(bc3 > 0.5, jnp.zeros_like(R3), R3)
+            return R1, R2, R3
         dt = u_pred.dtype
         if self.fx_gp is not None:
             f1 = jnp.asarray(self.fx_gp, dt)

@@ -81,6 +81,18 @@ class _PoissonCommon:
 
     def _setup_poisson(self, **kwargs):
         self.loss_type = kwargs.get("loss_type", "energy")
+        # Opt-in fused Pallas kernel path (ops/poisson_energy.py,
+        # ops/poisson_residual.py): one HBM pass for the whole
+        # eval->physics->assembly chain. Default OFF: on this image's axon
+        # relay compiled Pallas launches hang (CLAUDE.md); enable on a
+        # standard TPU runtime (or under interpret mode for testing).
+        self.fused_kernels = bool(kwargs.get("fused_kernels", False))
+        if self.fused_kernels and (self.nsd != 2 or self.basis.deg != 1
+                                   or self.basis.ngp_1d != 2):
+            raise ValueError("fused_kernels supports 2D deg-1 2x2-GP only")
+        if (self.fused_kernels and self.loss_type == "energy"
+                and kwargs.get("energy_weighting", "jxw") != "jxw"):
+            raise ValueError("fused_kernels energy path is jxw-weighted only")
         self.bc1_value = kwargs.get("bc1_value", 1.0)
         self.bc2_value = kwargs.get("bc2_value", 0.0)
         # Optional Dirichlet field for MMS resmin: u on bc2 nodes taken from
@@ -124,6 +136,9 @@ class _PoissonCommon:
 
         w = self._weights(u.dtype)
         if self.loss_type == "energy":
+            if self.fused_kernels and self.energy_weighting == "jxw":
+                from ..ops import poisson_energy_fused
+                return poisson_energy_fused(u, nu, f, self.basis)
             return poisson_energy_loss(self, u, nu, f, w)
 
         nu_gp = self.gauss_pt_evaluation(nu)
@@ -133,7 +148,14 @@ class _PoissonCommon:
             f_gp = self.gauss_pt_evaluation(f)
 
         if self.loss_type == "resmin":
-            R = poisson_resmin_residual(self, u, nu_gp, f_gp, bc2)
+            if self.fused_kernels:
+                from ..core import fem as _fem
+                from ..ops import poisson_residual_fused
+                Nf = _fem.galerkin_project(f_gp, self.basis, "N",
+                                           u.shape[-2:])
+                R = poisson_residual_fused(u, nu, Nf, bc2, self.basis)
+            else:
+                R = poisson_resmin_residual(self, u, nu_gp, f_gp, bc2)
             if self.precond is not None:
                 P = jnp.asarray(self.precond, u.dtype)
                 Rv = R.reshape(R.shape[0], -1)

@@ -179,3 +179,79 @@ def test_ns_xla_standalone_matches_production_path():
                                   mod.viscosity)
     for a, b in zip(R_sa, R_prod):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+# ---- module integration: the fused_kernels=True opt-in path ----
+
+def _poisson_pair(loss_type, **kw):
+    from diffnet_tpu.data.single_instances import RectangleManufactured
+    from diffnet_tpu.models.field import DirectField
+    from diffnet_tpu.pde.poisson import Poisson2D
+
+    n = 17
+    ds = RectangleManufactured(domain_size=n)
+    mk = lambda fused: Poisson2D(
+        DirectField((n, n)), ds, domain_size=n, loss_type=loss_type,
+        fused_kernels=fused, **kw)
+    return n, ds, mk(False), mk(True)
+
+
+@pytest.mark.parametrize("loss_type", ["energy", "resmin"])
+def test_poisson_module_fused_flag_matches_default(loss_type):
+    n, ds, m0, m1 = _poisson_pair(loss_type)
+    inputs, forcing = ds[0]
+    inputs = jnp.asarray(inputs)[None]
+    forcing = jnp.asarray(forcing)[None]
+    rng = np.random.default_rng(8)
+    u = jnp.asarray(rng.random((1, n, n)), jnp.float32)
+    l0 = float(m0.loss(u, inputs, forcing))
+    l1 = float(m1.loss(u, inputs, forcing))
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    g0 = jax.grad(lambda u: m0.loss(u, inputs, forcing))(u)
+    g1 = jax.grad(lambda u: m1.loss(u, inputs, forcing))(u)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-5)
+
+
+def test_ns_module_fused_flag_matches_default():
+    from diffnet_tpu.models.field import DirectField
+    from diffnet_tpu.pde.flow import NavierStokes, ldc_bcs
+
+    n = 17
+    u_bc, v_bc, p_bc = ldc_bcs((n, n))
+    mk = lambda fused: NavierStokes(
+        DirectField((n, n), n_fields=3), domain_size=n, Re=100.0,
+        u_bc=u_bc, v_bc=v_bc, p_bc=p_bc, fused_kernels=fused)
+    m0, m1 = mk(False), mk(True)
+    rng = np.random.default_rng(9)
+    pred = tuple(jnp.asarray(rng.random((1, n, n)), jnp.float32)
+                 for _ in range(3))
+    m = np.zeros((n, n), np.float32)
+    m[[0, -1], :] = 1.0
+    m[:, [0, -1]] = 1.0
+    pin = np.zeros((n, n), np.float32)
+    pin[0, 0] = 1.0
+    inputs = jnp.asarray(
+        np.stack([np.zeros((n, n), np.float32)] * 2 + [m, m, pin], -1))[None]
+    R0 = m0.calc_residuals(pred, inputs, None)
+    R1 = m1.calc_residuals(pred, inputs, None)
+    for a, b in zip(R1, R0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    l0 = float(m0.loss(pred, inputs, None))
+    l1 = float(m1.loss(pred, inputs, None))
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+
+
+def test_fused_flag_rejects_unsupported_configs():
+    from diffnet_tpu.models.field import DirectField
+    from diffnet_tpu.pde.flow import StokesMMS
+    from diffnet_tpu.pde.poisson import Poisson2D, Poisson3D
+
+    with pytest.raises(ValueError):
+        Poisson2D(DirectField((25, 25)), domain_size=25,
+                  fem_basis_deg=2, fused_kernels=True)
+    with pytest.raises(ValueError):
+        Poisson3D(DirectField((9, 9, 9)), domain_size=9,
+                  fused_kernels=True)
+    with pytest.raises(ValueError):
+        StokesMMS(DirectField((17, 17), n_fields=3), domain_size=17,
+                  fused_kernels=True)
