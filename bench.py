@@ -96,6 +96,26 @@ def main():
     t_fused = _timeit(residual_fused, u, nu, f_gp)
     t_ref = _timeit(residual_reference_style, u, nu, f_gp)
 
+    # opt-in: time the fully-fused Pallas kernel (ops/poisson_residual.py).
+    # NOT in the default run — compiled Pallas launches hang this image's
+    # axon relay (CLAUDE.md); set DIFFNET_BENCH_PALLAS=1 on a standard TPU
+    # runtime (on CPU it falls back to interpret mode, correctness only).
+    t_pallas = None
+    if os.environ.get("DIFFNET_BENCH_PALLAS"):
+        import functools
+
+        from jax.experimental import pallas as pl
+
+        from diffnet_tpu.ops import poisson_residual_fused
+
+        if jax.devices()[0].platform == "cpu":
+            pl.pallas_call = functools.partial(pl.pallas_call, interpret=True)
+        Nf = jax.jit(lambda f: fem.galerkin_project(f, basis, "N", (n, n)))(
+            f_gp)
+        pallas_fn = jax.jit(
+            lambda u, nu: poisson_residual_fused(u, nu, Nf, bc, basis))
+        t_pallas = _timeit(pallas_fn, u, nu, iters=10, warmup=2)
+
     elems = bs * (n - 1) * (n - 1)
     evals_per_sec = elems / t_fused
     suffix = "" if dt == jnp.float32 else f"_{dt.name}"
@@ -105,6 +125,9 @@ def main():
         "unit": "elem/s",
         "vs_baseline": float(f"{t_ref / t_fused:.4g}"),
     }
+    if t_pallas is not None:
+        result["pallas_fused_elem_per_sec"] = float(
+            f"{elems / t_pallas:.4g}")
     # emit the primary metric IMMEDIATELY: the relay can wedge mid-run (see
     # CLAUDE.md) and the guarded wrapper salvages the last JSON line from a
     # timed-out subprocess
