@@ -255,3 +255,26 @@ def test_fused_flag_rejects_unsupported_configs():
     with pytest.raises(ValueError):
         StokesMMS(DirectField((17, 17), n_fields=3), domain_size=17,
                   fused_kernels=True)
+
+
+def test_fused_kernels_bf16():
+    """Kernel family accepts bf16 fields (the TPU bandwidth policy);
+    values match the XLA path at bf16 resolution."""
+    import diffnet_tpu.ops.poisson_energy as pe
+
+    n, tile = 33, 16
+    basis = make_basis(2, 1, h=(1 / (n - 1),) * 2)
+    rng = np.random.default_rng(10)
+    u32 = jnp.asarray(rng.random((1, n, n)), jnp.float32)
+    nu32 = jnp.asarray(rng.random((1, n, n)), jnp.float32)
+    u, nu = u32.astype(jnp.bfloat16), nu32.astype(jnp.bfloat16)
+    Kp = pr._stiffness_fwd_impl(u, nu, basis, tile)
+    assert Kp.dtype == jnp.bfloat16
+    Kx = _K_xla(u32, nu32, basis, n)
+    rel = (np.linalg.norm(np.asarray(Kp, np.float32) - np.asarray(Kx))
+           / np.linalg.norm(np.asarray(Kx)))
+    assert rel < 0.03, rel
+    f = jnp.asarray(rng.random((1, n, n)), jnp.bfloat16)
+    E = pe._energy_fwd_impl(u, nu, f, basis, tile)
+    Ex = _energy_xla(u32, nu32, f.astype(jnp.float32), basis)
+    assert abs(float(E) - float(Ex)) < 0.03 * abs(float(Ex))
