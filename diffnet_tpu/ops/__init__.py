@@ -2,12 +2,15 @@
 on a standard TPU runtime — see module docstrings).
 
 - :mod:`poisson_residual` — fused Galerkin stiffness action / resmin residual
+- :mod:`poisson_residual_3d` — the 3D (trilinear, 2x2x2-GP) counterpart
 - :mod:`poisson_energy`   — fused Ritz energy functional (+ fused-kernel VJP)
 - :mod:`ns_residual`      — fused Navier-Stokes VMS 3-residual assembly
 """
 
 from .ns_residual import ns_vms_residual_fused, ns_vms_residual_xla
 from .poisson_energy import poisson_energy_fused
+from .poisson_residual_3d import (poisson_residual_fused_3d,
+                                  poisson_stiffness_action_3d)
 from .poisson_residual import poisson_residual_fused, poisson_stiffness_action
 
 __all__ = [
@@ -15,5 +18,7 @@ __all__ = [
     "ns_vms_residual_xla",
     "poisson_energy_fused",
     "poisson_residual_fused",
+    "poisson_residual_fused_3d",
     "poisson_stiffness_action",
+    "poisson_stiffness_action_3d",
 ]

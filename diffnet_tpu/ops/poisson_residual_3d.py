@@ -1,0 +1,184 @@
+"""Pallas TPU kernel: fused 3D Poisson Galerkin stiffness action.
+
+3D counterpart of :mod:`diffnet_tpu.ops.poisson_residual` for the
+reference's volumetric workloads (tests/test3D.py:36-85, voxel solves
+9_voxel_3d.py, IBN/poisson-3d — 64^3 grids): computes
+
+    Ku[b, k, j, i] = sum_{elements adjacent to node (k,j,i)} sum_gp
+                     JxW_gp * nu(e,gp) * grad(N_(k,j,i)) · grad(u)(e,gp)
+
+in ONE pass over HBM. The op-by-op 3D path materializes 3 gradient GP
+fields at 8 GP/element (24x the nodal volume) plus nu_gp in HBM; here they
+live in VMEM and HBM traffic is u + nu in, Ku out.
+
+Structure: grid (B, z-tiles). Each program DMAs a (TZ+2)-node-plane halo
+slab of u and nu into VMEM (z-extent 8-padded for DMA alignment, x padded
+to the 128-lane boundary), computes the TZ+1 element layers covering its
+TZ output node planes with 2x2x2 Gauss quadrature fully unrolled
+(8 GP x 8 corner basis functions), masks out-of-domain element layers with
+an iota validity mask, and accumulates the trilinear (Q1) assembly in VMEM.
+
+Deg-1 (trilinear, 2x2x2 Gauss) only — the configuration of every 3D
+reference workload. Differentiable via custom VJP (self-adjoint in u; one
+Galerkin projection for d/d(nu)), mirroring the 2D kernel.
+
+STATUS: interpret-mode validated against the XLA path (values + VJPs,
+tests/test_pallas_kernel.py). On-device launch gated pending a standard
+(non-axon-relay) TPU runtime, same as the rest of the family.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import fem
+from ..core.quadrature import FEMBasis
+
+__all__ = ["poisson_stiffness_action_3d", "poisson_residual_fused_3d"]
+
+
+def _build_tables_3d(basis: FEMBasis):
+    assert basis.deg == 1 and basis.nsd == 3 and basis.ngp_1d == 2, (
+        "fused 3D kernel supports deg-1 with 2x2x2 Gauss only")
+    to_py = lambda t: [[float(v) for v in t[g]] for g in range(8)]
+    return (to_py(basis.tables["N"]), to_py(basis.tables["dx"]),
+            to_py(basis.tables["dy"]), to_py(basis.tables["dz"]),
+            [float(v) for v in basis.jxw])
+
+
+def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TZ, n, nel):
+    NT, DXT, DYT, DZT, jxw = tables
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    # halo slab: padded node planes [t*TZ, t*TZ + TZ + 2) == real node
+    # planes [t*TZ - 1, t*TZ + TZ + 1); z-extent padded to TZ+8 for DMA
+    row0 = t * TZ
+    cp_u = pltpu.make_async_copy(u_hbm.at[b, pl.ds(row0, TZ + 8)], u_s,
+                                 sems.at[0])
+    cp_nu = pltpu.make_async_copy(nu_hbm.at[b, pl.ds(row0, TZ + 8)], nu_s,
+                                  sems.at[1])
+    cp_u.start()
+    cp_nu.start()
+    cp_u.wait()
+    cp_nu.wait()
+
+    def corners(s):
+        # IBF = (kbf*2 + jbf)*2 + ibf, i <-> x fastest (core/fem.py layout)
+        a = s[: TZ + 2, : n, : n]
+        out = []
+        for kbf in (0, 1):
+            for jbf in (0, 1):
+                for ibf in (0, 1):
+                    out.append(a[kbf:kbf + TZ + 1,
+                                 jbf:jbf + nel, ibf:ibf + nel])
+        return out
+
+    uc = corners(u_s)
+    nc = corners(nu_s)
+
+    # mask element layers whose global z index is outside [0, nel); y/x
+    # element extents are exact by construction of the corner slices
+    e_lay = (jax.lax.broadcasted_iota(jnp.int32, (TZ + 1, nel, nel), 0)
+             + row0 - 1)
+    valid = jnp.logical_and(e_lay >= 0, e_lay < nel).astype(u_s.dtype)
+
+    acc = [None] * 8
+    for g in range(8):
+        ux = sum(DXT[g][k] * uc[k] for k in range(8))
+        uy = sum(DYT[g][k] * uc[k] for k in range(8))
+        uz = sum(DZT[g][k] * uc[k] for k in range(8))
+        nug = sum(NT[g][k] * nc[k] for k in range(8))
+        gx = (jxw[g] * nug) * ux
+        gy = (jxw[g] * nug) * uy
+        gz = (jxw[g] * nug) * uz
+        for ibf in range(8):
+            contrib = DXT[g][ibf] * gx + DYT[g][ibf] * gy + DZT[g][ibf] * gz
+            acc[ibf] = contrib if acc[ibf] is None else acc[ibf] + contrib
+
+    a = [x * valid for x in acc]
+    # Q1 assembly, z first: node plane z (local) <- element layer z+1 for
+    # kbf=0, layer z for kbf=1  (same shift pattern as the 2D kernel rows)
+    out_ref[0] = jnp.zeros((TZ, n, n), u_s.dtype)
+    for jbf in (0, 1):
+        for ibf in (0, 1):
+            lo = 4 * 0 + 2 * jbf + ibf   # kbf = 0
+            hi = 4 * 1 + 2 * jbf + ibf   # kbf = 1
+            az = a[lo][1:] + a[hi][:TZ]  # [TZ, nel, nel]
+            ysl = slice(jbf, jbf + nel)
+            xsl = slice(ibf, ibf + nel)
+            out_ref[0, :, ysl, xsl] = out_ref[0, :, ysl, xsl] + az
+
+
+def _stiffness3d_fwd_impl(u, nu, basis: FEMBasis, tile_z: int = 8):
+    B, n, _, _ = u.shape
+    nel = n - 1
+    TZ = min(tile_z, -(-n // 8) * 8)
+    ntiles = -(-n // TZ)
+    assert TZ % 8 == 0 or TZ == n, "tile_z must be a multiple of 8"
+    pad_z = ntiles * TZ + 8
+    CP = -(-n // 128) * 128
+    cfg = ((0, 0), (1, pad_z - n - 1), (0, 0), (0, CP - n))
+    u_p = jnp.pad(u, cfg)
+    nu_p = jnp.pad(nu, cfg)
+    tables = _build_tables_3d(basis)
+
+    out = pl.pallas_call(
+        partial(_kernel, tables=tables, TZ=TZ, n=n, nel=nel),
+        grid=(B, ntiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, TZ, n, n), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, ntiles * TZ, n, n), u.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TZ + 8, n, CP), u.dtype),
+            pltpu.VMEM((TZ + 8, n, CP), u.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(800 * B * nel**3),
+            bytes_accessed=int(3 * 4 * B * n**3),
+            transcendentals=0),
+    )(u_p, nu_p)
+    return out[:, :n]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def poisson_stiffness_action_3d(u, nu, basis: FEMBasis, tile_z: int = 8):
+    """Ku = assembled ∫ nu grad(N_i)·grad(u): [B, n, n, n] -> same."""
+    return _stiffness3d_fwd_impl(u, nu, basis, tile_z)
+
+
+def _fwd(u, nu, basis, tile_z):
+    return _stiffness3d_fwd_impl(u, nu, basis, tile_z), (u, nu)
+
+
+def _bwd(basis, tile_z, res, g):
+    u, nu = res
+    du = _stiffness3d_fwd_impl(g, nu, basis, tile_z)
+    gu = fem.gp_eval(u, basis, ("dx", "dy", "dz"))
+    gg = fem.gp_eval(g, basis, ("dx", "dy", "dz"))
+    integrand = (gu["dx"] * gg["dx"] + gu["dy"] * gg["dy"]
+                 + gu["dz"] * gg["dz"])
+    dnu = fem.galerkin_project(integrand, basis, "N", u.shape[-3:])
+    return du, dnu
+
+
+poisson_stiffness_action_3d.defvjp(_fwd, _bwd)
+
+
+def poisson_residual_fused_3d(u, nu, Nf, bc_mask, basis: FEMBasis,
+                              tile_z: int = 8):
+    """Full assembled, Dirichlet-masked 3D residual R = K(nu) u - Nf
+    (3D counterpart of :func:`diffnet_tpu.ops.poisson_residual.
+    poisson_residual_fused`; `Nf` preassembled once)."""
+    R = poisson_stiffness_action_3d(u, nu, basis, tile_z) - Nf
+    return jnp.where(bc_mask > 0.5, jnp.zeros_like(R), R)

@@ -87,12 +87,20 @@ class _PoissonCommon:
         # relay compiled Pallas launches hang (CLAUDE.md); enable on a
         # standard TPU runtime (or under interpret mode for testing).
         self.fused_kernels = bool(kwargs.get("fused_kernels", False))
-        if self.fused_kernels and (self.nsd != 2 or self.basis.deg != 1
-                                   or self.basis.ngp_1d != 2):
-            raise ValueError("fused_kernels supports 2D deg-1 2x2-GP only")
-        if (self.fused_kernels and self.loss_type == "energy"
-                and kwargs.get("energy_weighting", "jxw") != "jxw"):
-            raise ValueError("fused_kernels energy path is jxw-weighted only")
+        if self.fused_kernels:
+            supported = (self.basis.deg == 1 and self.basis.ngp_1d == 2
+                         and ((self.nsd == 2
+                               and self.loss_type in ("energy", "resmin"))
+                              or (self.nsd == 3
+                                  and self.loss_type == "resmin")))
+            if not supported:
+                raise ValueError(
+                    "fused_kernels supports deg-1 2-GP 2D energy/resmin and "
+                    "3D resmin only")
+            if (self.loss_type == "energy"
+                    and kwargs.get("energy_weighting", "jxw") != "jxw"):
+                raise ValueError(
+                    "fused_kernels energy path is jxw-weighted only")
         self.bc1_value = kwargs.get("bc1_value", 1.0)
         self.bc2_value = kwargs.get("bc2_value", 0.0)
         # Optional Dirichlet field for MMS resmin: u on bc2 nodes taken from
@@ -151,9 +159,12 @@ class _PoissonCommon:
             if self.fused_kernels:
                 from ..core import fem as _fem
                 from ..ops import poisson_residual_fused
+                from ..ops.poisson_residual_3d import poisson_residual_fused_3d
+                fused = (poisson_residual_fused if self.nsd == 2
+                         else poisson_residual_fused_3d)
                 Nf = _fem.galerkin_project(f_gp, self.basis, "N",
-                                           u.shape[-2:])
-                R = poisson_residual_fused(u, nu, Nf, bc2, self.basis)
+                                           u.shape[-self.nsd:])
+                R = fused(u, nu, Nf, bc2, self.basis)
             else:
                 R = poisson_resmin_residual(self, u, nu_gp, f_gp, bc2)
             if self.precond is not None:

@@ -278,3 +278,69 @@ def test_fused_kernels_bf16():
     E = pe._energy_fwd_impl(u, nu, f, basis, tile)
     Ex = _energy_xla(u32, nu32, f.astype(jnp.float32), basis)
     assert abs(float(E) - float(Ex)) < 0.03 * abs(float(Ex))
+
+
+# ---- 3D fused stiffness action ----
+
+def _K3_xla(u, nu, basis, n):
+    gp = fem.gp_eval(u, basis, ("dx", "dy", "dz"))
+    nug = fem.gp_eval(nu, basis, ("N",))["N"]
+    return (fem.galerkin_project(nug * gp["dx"], basis, "dx", (n, n, n))
+            + fem.galerkin_project(nug * gp["dy"], basis, "dy", (n, n, n))
+            + fem.galerkin_project(nug * gp["dz"], basis, "dz", (n, n, n)))
+
+
+@pytest.mark.parametrize("n,tile", [(9, 8), (17, 8), (20, 16)])
+def test_stiffness3d_matches_xla(n, tile):
+    from diffnet_tpu.ops.poisson_residual_3d import _stiffness3d_fwd_impl
+
+    basis = make_basis(3, 1, h=(1 / (n - 1),) * 3)
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.random((2, n, n, n)), jnp.float32)
+    nu = jnp.asarray(rng.random((2, n, n, n)), jnp.float32)
+    Kx = _K3_xla(u, nu, basis, n)
+    Kp = _stiffness3d_fwd_impl(u, nu, basis, tile)
+    np.testing.assert_allclose(np.asarray(Kp), np.asarray(Kx), atol=2e-6)
+
+
+def test_stiffness3d_vjp_matches_xla():
+    from diffnet_tpu.ops.poisson_residual_3d import poisson_stiffness_action_3d
+
+    n, tile = 9, 8
+    basis = make_basis(3, 1, h=(1 / (n - 1),) * 3)
+    rng = np.random.default_rng(12)
+    u = jnp.asarray(rng.random((1, n, n, n)), jnp.float32)
+    nu = jnp.asarray(rng.random((1, n, n, n)), jnp.float32)
+    g = jnp.asarray(rng.random((1, n, n, n)), jnp.float32)
+    g1 = jax.grad(lambda u, nu: jnp.sum(_K3_xla(u, nu, basis, n) * g),
+                  argnums=(0, 1))(u, nu)
+    g2 = jax.grad(
+        lambda u, nu: jnp.sum(
+            poisson_stiffness_action_3d(u, nu, basis, tile) * g),
+        argnums=(0, 1))(u, nu)
+    for a, b in zip(g2, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_poisson3d_module_fused_flag_matches_default():
+    from diffnet_tpu.data.single_instances import CuboidManufactured
+    from diffnet_tpu.models.field import DirectField
+    from diffnet_tpu.pde.poisson import Poisson3D
+
+    n = 9
+    ds = CuboidManufactured(domain_size=n)
+    mk = lambda fused: Poisson3D(
+        DirectField((n, n, n)), ds, domain_size=n, loss_type="resmin",
+        fused_kernels=fused)
+    m0, m1 = mk(False), mk(True)
+    inputs, forcing = ds[0]
+    inputs = jnp.asarray(inputs)[None]
+    forcing = jnp.asarray(forcing)[None]
+    rng = np.random.default_rng(13)
+    u = jnp.asarray(rng.random((1, n, n, n)), jnp.float32)
+    l0 = float(m0.loss(u, inputs, forcing))
+    l1 = float(m1.loss(u, inputs, forcing))
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    g0 = jax.grad(lambda u: m0.loss(u, inputs, forcing))(u)
+    g1 = jax.grad(lambda u: m1.loss(u, inputs, forcing))(u)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-5)
