@@ -41,6 +41,8 @@ __all__ = [
     "gp_eval",
     "gp_eval_stacked",
     "galerkin_project",
+    "element_tensor",
+    "element_action",
     "gp_coords",
     "dirichlet_zero_rows",
 ]
@@ -101,6 +103,23 @@ def scatter_elements(r_elem: jax.Array, deg: int, nsd: int,
     nbf_1d = deg + 1
     nel = tuple(r_elem.shape[-1 - nsd:-1])
     batch = r_elem.shape[: -1 - nsd]
+
+    if deg == 1:
+        # Fast path: every local dof writes the contiguous slice
+        # [o : o + nel] (stride 1), so assembly is a sum of zero-PADDED
+        # per-dof planes — one fused elementwise pass instead of 2^nsd
+        # sequential read-modify-write scatter-adds.
+        total = None
+        ibf_lin = 0
+        for offs in np.ndindex(*((nbf_1d,) * nsd)):
+            pad = [(0, 0)] * len(batch) + [
+                (int(o), int(ns) - int(o) - ne)
+                for o, ns, ne in zip(offs, node_shape, nel)]
+            piece = jnp.pad(r_elem[..., ibf_lin], pad)
+            total = piece if total is None else total + piece
+            ibf_lin += 1
+        return total
+
     out = jnp.zeros(batch + tuple(node_shape), dtype=r_elem.dtype)
 
     def node_idx(offs):
@@ -281,6 +300,67 @@ def element_matvec(u: jax.Array, K_elem: np.ndarray, deg: int, nsd: int,
         precision=jax.lax.Precision.HIGHEST,
     ).astype(u.dtype)
     return scatter_elements(r_elem, deg, nsd, node_shape)
+
+
+def element_tensor(basis: FEMBasis,
+                   quantities: Sequence[str] = ("dx", "dy")) -> np.ndarray:
+    """Static Galerkin element tensor for coefficient-weighted bilinear forms.
+
+    ``A[c, a, b] = sum_gp jxw[gp] * N[gp, c] * sum_q T_q[gp, a] T_q[gp, b]``
+
+    so that for a coefficient field expanded in the same nodal basis
+    (``nu(x) = sum_c N_c(x) nu_c``), the per-element weak residual
+    ``R_e[a] = ∫_e nu * sum_q (d^q N_a)(d^q u) dx`` is exactly
+    ``sum_{c,b} A[c, a, b] nu_c u_b`` — no Gauss-point quantities ever exist.
+    Computed once in float64 at setup; tiny ([nbf, nbf, nbf] = 64 floats for
+    deg-1 2D). Replaces the per-step GP pipeline of the reference hot loop
+    (DiffNet/DiffNetFEM.py:7-18,143-174) with a quadrature-exact contraction.
+    """
+    nbf = basis.nbf_total
+    N = basis.tables["N"]            # [ngp, nbf]
+    jxw = basis.jxw                  # [ngp]
+    A = np.zeros((nbf, nbf, nbf), np.float64)
+    for q in quantities:
+        T = basis.tables[q]
+        # A[c,a,b] += sum_g jxw[g] N[g,c] T[g,a] T[g,b] — two small matmul
+        # stages to stay O(ngp * nbf^2) + O(ngp * nbf^3) host-side
+        A += np.einsum("g,gc,ga,gb->cab", jxw, N, T, T, optimize=True)
+    return A
+
+
+def element_action(u: jax.Array, coeff: jax.Array, A: np.ndarray,
+                   basis: FEMBasis, node_shape: Sequence[int]) -> jax.Array:
+    """Assembled action ``R = K(coeff) u`` via the static element tensor from
+    :func:`element_tensor` — TWO chained contractions, ZERO Gauss-point
+    intermediates in HBM:
+
+        t1     = coeff_patches @ A.reshape(nbf, nbf*nbf)   # one MXU matmul
+        r_elem = sum_b t1[..., a, b] * u_patches[..., b]    # batched matvec
+        R      = scatter_elements(r_elem)
+
+    This is the production fast path for the Poisson/diffusion residual
+    (reference hot loop DiffNet/DiffNetFEM.py:7-18 + assembly
+    tests/test.py:36-41): vs the GP-pipeline path it removes the ~3x nodal
+    size of Gauss-point intermediates XLA materializes between the eval and
+    projection matmuls (docs/KERNELS.md). Mathematically identical to
+    ``galerkin_project(sum_q coeff_gp * d^q u_gp)`` up to float round-off
+    (different association order).
+    """
+    nbf = basis.nbf_total
+    coeff_e = gather_elements(coeff, basis.deg, basis.nsd)  # [..., nel*, nbf]
+    u_e = gather_elements(u, basis.deg, basis.nsd)
+    Af = jnp.asarray(np.asarray(A, np.float64).reshape(nbf, nbf * nbf),
+                     u.dtype)
+    t1 = jax.lax.dot_general(
+        coeff_e, Af,
+        dimension_numbers=(((coeff_e.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=(jnp.float32
+                                if u.dtype != jnp.float64 else None),
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(u.dtype)
+    t1 = t1.reshape(t1.shape[:-1] + (nbf, nbf))
+    r_elem = jnp.sum(t1 * u_e[..., None, :], axis=-1)
+    return scatter_elements(r_elem, basis.deg, basis.nsd, node_shape)
 
 
 def gp_eval_1d(u_line: jax.Array, basis: FEMBasis,

@@ -17,6 +17,7 @@ reference datasets (bc1 = source/Dirichlet-1, bc2 = sink/Dirichlet-0 unless a
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,6 +26,7 @@ from .base import FDMModule, FEM2DModule, FEM3DModule
 __all__ = [
     "poisson_energy_loss",
     "poisson_resmin_residual",
+    "poisson_resmin_residual_et",
     "poisson_strong_form_loss",
     "Poisson2D",
     "Poisson3D",
@@ -62,6 +64,42 @@ def poisson_resmin_residual(module, u, nu_gp, f_gp, bc_mask):
     return jnp.where(bc_mask > 0.5, jnp.zeros_like(R), R)
 
 
+def poisson_resmin_residual_et(module, u, nu, f_gp, bc_mask):
+    """Element-tensor formulation of the same assembled Galerkin residual:
+    contract the NODAL nu patches against the static [nbf,nbf,nbf] element
+    tensor (one matmul), then a batched per-element matvec with the u patches
+    — zero Gauss-point intermediates in HBM (see core/fem.py:element_action).
+    Mathematically identical to :func:`poisson_resmin_residual` up to
+    round-off; the production default for deg-1 grids."""
+    from ..core import fem as _fem
+    basis = module.basis
+    nbf = basis.nbf_total
+    coeff_e = _fem.gather_elements(nu, basis.deg, basis.nsd)
+    u_e = _fem.gather_elements(u, basis.deg, basis.nsd)
+    Af = jnp.asarray(
+        module._poisson_et_tensor.reshape(nbf, nbf * nbf), u.dtype)
+    t1 = jax.lax.dot_general(
+        coeff_e, Af,
+        dimension_numbers=(((coeff_e.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(u.dtype)
+    t1 = t1.reshape(t1.shape[:-1] + (nbf, nbf))
+    # forcing projection folded into the SAME per-element vector so assembly
+    # is one scatter: r_e[a] = sum_b t1[a,b] u_b - sum_gp N[gp,a] jxw f_gp
+    NjxwT = jnp.asarray(
+        (basis.tables["N"] * basis.jxw[:, None]), u.dtype)  # [ngp, nbf]
+    f_e = jax.lax.dot_general(
+        f_gp, NjxwT,
+        dimension_numbers=(((f_gp.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(u.dtype)
+    r_elem = jnp.sum(t1 * u_e[..., None, :], axis=-1) - f_e
+    R = _fem.scatter_elements(r_elem, basis.deg, basis.nsd, module.node_shape)
+    return jnp.where(bc_mask > 0.5, jnp.zeros_like(R), R)
+
+
 def poisson_strong_form_loss(module, u, nu_gp, f_gp, jxw):
     """Collocation on the strong form via FEM 2nd derivatives (needs deg>=2):
     mean_elem sum_gp gpw * ((lap u) + f)^2 (reference
@@ -81,6 +119,20 @@ class _PoissonCommon:
 
     def _setup_poisson(self, **kwargs):
         self.loss_type = kwargs.get("loss_type", "energy")
+        # resmin formulation: "et" (element-tensor two-matmul path, default
+        # for deg-1 — fastest, see core/fem.py:element_action) or "gp"
+        # (general Gauss-point pipeline, any degree).
+        default_form = "et" if self.basis.deg == 1 else "gp"
+        self.residual_formulation = kwargs.get("residual_formulation",
+                                               default_form)
+        if self.residual_formulation not in ("et", "gp"):
+            raise ValueError(
+                f"residual_formulation must be 'et' or 'gp', got "
+                f"{self.residual_formulation!r}")
+        if self.residual_formulation == "et":
+            from ..core import fem as _fem
+            grads = ("dx", "dy") + (("dz",) if self.nsd == 3 else ())
+            self._poisson_et_tensor = _fem.element_tensor(self.basis, grads)
         # Opt-in fused Pallas kernel path (ops/poisson_energy.py,
         # ops/poisson_residual.py): one HBM pass for the whole
         # eval->physics->assembly chain. Default OFF: on this image's axon
@@ -149,7 +201,6 @@ class _PoissonCommon:
                 return poisson_energy_fused(u, nu, f, self.basis)
             return poisson_energy_loss(self, u, nu, f, w)
 
-        nu_gp = self.gauss_pt_evaluation(nu)
         if getattr(self, "f_gp", None) is not None:
             f_gp = jnp.asarray(self.f_gp, u.dtype)
         else:
@@ -165,15 +216,19 @@ class _PoissonCommon:
                 Nf = _fem.galerkin_project(f_gp, self.basis, "N",
                                            u.shape[-self.nsd:])
                 R = fused(u, nu, Nf, bc2, self.basis)
+            elif self.residual_formulation == "et":
+                R = poisson_resmin_residual_et(self, u, nu, f_gp, bc2)
             else:
-                R = poisson_resmin_residual(self, u, nu_gp, f_gp, bc2)
+                R = poisson_resmin_residual(
+                    self, u, self.gauss_pt_evaluation(nu), f_gp, bc2)
             if self.precond is not None:
                 P = jnp.asarray(self.precond, u.dtype)
                 Rv = R.reshape(R.shape[0], -1)
                 R = Rv @ P.T
             return jnp.sum(R**2)
         if self.loss_type == "strong":
-            return poisson_strong_form_loss(self, u, nu_gp, f_gp, w)
+            return poisson_strong_form_loss(
+                self, u, self.gauss_pt_evaluation(nu), f_gp, w)
         raise ValueError(f"unknown loss_type {self.loss_type!r}")
 
 

@@ -158,3 +158,82 @@ def test_gp_eval_batched_and_jittable():
     assert out.shape == (4, n - 1, n - 1, 2, 4)
     np.testing.assert_allclose(out[..., 0, :], 1.0, atol=1e-6)
     np.testing.assert_allclose(out[..., 1, :], 0.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("nsd,deg", [(2, 1), (3, 1), (2, 2)])
+def test_element_action_matches_gp_pipeline(nsd, deg):
+    """element_action (static element tensor, two chained contractions) must
+    equal the Gauss-point pipeline galerkin_project(sum_q nu_gp * d^q u_gp)
+    to round-off — the VERDICT r1 item-1 production fast path."""
+    rng = np.random.default_rng(3)
+    n = deg * 6 + 1
+    shape = (n,) * nsd
+    b = make_basis(nsd, deg, h=tuple(1.0 / ((n - 1) // deg) for _ in range(nsd)))
+    u = jnp.asarray(rng.standard_normal((2,) + shape), jnp.float32)
+    nu = jnp.asarray(rng.random((2,) + shape) + 0.5, jnp.float32)
+    grads = ("dx", "dy") + (("dz",) if nsd == 3 else ())
+
+    A = fem.element_tensor(b, grads)
+    R_et = fem.element_action(u, nu, A, b, shape)
+
+    gp = fem.gp_eval(u, b, grads)
+    nu_gp = fem.gp_eval(nu, b, ("N",))["N"]
+    R_gp = fem.galerkin_project_multi(
+        [(nu_gp * gp[q], q) for q in grads], b, shape)
+    np.testing.assert_allclose(R_et, R_gp, rtol=2e-4, atol=2e-5)
+
+
+def test_element_action_gradients_match_gp_pipeline():
+    """d/du and d/dnu of sum(R^2) agree between the two formulations (the
+    residual sits inside a jitted loss under jax.grad in training)."""
+    rng = np.random.default_rng(4)
+    n = 9
+    b = make_basis(2, 1, h=(1.0 / (n - 1),) * 2)
+    u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    nu = jnp.asarray(rng.random((n, n)) + 0.5, jnp.float32)
+    A = fem.element_tensor(b, ("dx", "dy"))
+
+    def loss_et(u, nu):
+        return jnp.sum(fem.element_action(u, nu, A, b, (n, n)) ** 2)
+
+    def loss_gp(u, nu):
+        gp = fem.gp_eval(u, b, ("dx", "dy"))
+        nu_gp = fem.gp_eval(nu, b, ("N",))["N"]
+        R = fem.galerkin_project_multi(
+            [(nu_gp * gp["dx"], "dx"), (nu_gp * gp["dy"], "dy")], b, (n, n))
+        return jnp.sum(R**2)
+
+    g_et = jax.grad(loss_et, argnums=(0, 1))(u, nu)
+    g_gp = jax.grad(loss_gp, argnums=(0, 1))(u, nu)
+    for a, c in zip(g_et, g_gp):
+        np.testing.assert_allclose(a, c, rtol=5e-4, atol=5e-5)
+
+
+def test_poisson_module_et_equals_gp_formulation():
+    """Poisson2D(loss_type=resmin) default 'et' formulation equals the 'gp'
+    formulation at the module level (loss values and parameter gradients)."""
+    from diffnet_tpu.pde.poisson import Poisson2D
+    from diffnet_tpu.models.field import DirectField
+
+    n = 17
+    rng = np.random.default_rng(5)
+    inputs = np.zeros((1, n, n, 3), np.float32)
+    inputs[..., 0] = rng.random((n, n)) + 0.5
+    inputs[0, 0, :, 2] = 1.0
+    inputs[0, -1, :, 2] = 1.0
+    forcing = rng.standard_normal((1, n, n, 1)).astype(np.float32)
+    u0 = rng.standard_normal((n, n)).astype(np.float32)
+    batch = (jnp.asarray(inputs), jnp.asarray(forcing))
+
+    losses, grads = [], []
+    for form in ("et", "gp"):
+        m = Poisson2D(DirectField((n, n), init=u0), domain_size=n,
+                      batch_size=1, loss_type="resmin",
+                      residual_formulation=form)
+        assert m.residual_formulation == form
+        params = m.network.init(jax.random.PRNGKey(0), inputs)
+        losses.append(float(m.training_loss(params, batch)))
+        g = jax.grad(m.training_loss)(params, batch)
+        grads.append(jax.tree_util.tree_leaves(g)[0])
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)
+    np.testing.assert_allclose(grads[0], grads[1], rtol=2e-3, atol=1e-5)
