@@ -227,4 +227,14 @@ class FDMStencils:
 def make_fdm(nsd: int, n: int, ktype: KType = "fdm", num_pt: int = 3) -> FDMStencils:
     if nsd not in (2, 3):
         raise ValueError(f"nsd must be 2 or 3, got {nsd}")
+    if ktype == "fs":
+        # the learned-filter kernel is a fixed 5-tap stencil: padding and
+        # cross-axis smoothing in _d1 derive their width from num_pt, so any
+        # other value would broadcast-error (or silently under-pad)
+        if num_pt == 3:
+            num_pt = 5  # 3 is just the signature default — upgrade silently
+        elif num_pt != 5:
+            raise ValueError(
+                f"ktype='fs' uses a fixed 5-tap stencil; num_pt={num_pt} "
+                "is incompatible (pass num_pt=5 or omit it)")
     return FDMStencils(nsd=nsd, n=n, ktype=ktype, num_pt=num_pt)

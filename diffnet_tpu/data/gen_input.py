@@ -51,9 +51,7 @@ def calculate_omega_based_on_eta(eta: float, n_terms: int = 10) -> np.ndarray:
             vals = f(grid)
             for i in range(len(grid) - 1):
                 if vals[i] * vals[i + 1] < 0:
-                    roots.append(brentq(grid[i], grid[i + 1], xtol=1e-13)
-                                 if False else
-                                 brentq(f, grid[i], grid[i + 1], xtol=1e-13))
+                    roots.append(brentq(f, grid[i], grid[i + 1], xtol=1e-13))
         k += 1
     return np.array(roots[:n_terms])
 

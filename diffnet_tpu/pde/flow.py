@@ -202,6 +202,18 @@ class StokesNSBase(FEM2DModule):
             return jnp.sum(R**2)
         return jnp.sqrt(jnp.sum(R**2) + 1e-12)
 
+    def objective_param_mask(self, idx, params):
+        """Scope objective `idx`'s update to its own field's params when the
+        param tree is per-field (DirectField(n_fields=3) -> field_0/1/2),
+        matching the reference's one-Adam-per-field-network setup
+        (e1_ns_ldc_resmin.py:335-339). Returns None (update everything) for
+        shared-parameter networks (e.g. MultiOutUNet's shared encoder)."""
+        key = f"field_{idx}"
+        if isinstance(params, dict) and key in params and len(
+                params) == self.num_objectives:
+            return {k: k == key for k in params}
+        return None
+
     def loss(self, pred, inputs_tensor, forcing_tensor):
         R1, R2, R3 = self.calc_residuals(pred, inputs_tensor, forcing_tensor)
         s = self.momentum_scale

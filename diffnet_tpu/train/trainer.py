@@ -130,8 +130,21 @@ class CSVLogger:
         new_file = self._fieldnames is None
         if new_file:
             self._fieldnames = list(metrics.keys())
+        new_keys = [k for k in metrics if k not in self._fieldnames]
+        if new_keys and not new_file:
+            # a metric appeared after the header was written (e.g. val_loss
+            # or a loss_obj{i} series starting on a later epoch): extend the
+            # header and rewrite the file instead of silently dropping it
+            self._fieldnames += new_keys
+            with open(self.path, newline="") as f:
+                rows = list(csv.DictReader(f))
+            with open(self.path, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._fieldnames,
+                                   restval="")
+                w.writeheader()
+                w.writerows(rows)
         with open(self.path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._fieldnames, extrasaction="ignore")
+            w = csv.DictWriter(f, fieldnames=self._fieldnames, restval="")
             if new_file:
                 w.writeheader()
             w.writerow(metrics)
@@ -142,7 +155,16 @@ class TensorBoardLogger:
     TensorBoardLogger + CSVLogger, 0_base.py:102-103)."""
 
     def __init__(self, run_dir: str):
-        from torch.utils.tensorboard import SummaryWriter  # cpu torch ships
+        # torch is a heavyweight OPTIONAL dependency of this JAX framework —
+        # only its tensorboard writer is used, and only when the user asks
+        # for TB logging (the CSV logger is the always-on default)
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+        except ImportError as e:
+            raise ImportError(
+                "TensorBoardLogger needs torch (for "
+                "torch.utils.tensorboard); install torch or use the default "
+                "CSVLogger") from e
 
         self.writer = SummaryWriter(run_dir)
 
@@ -222,8 +244,9 @@ class Trainer:
         self.profile_dir = profile_dir
         # failure detection (the reference has none, SURVEY.md §5): on a
         # non-finite epoch loss, restore the last state.ckpt (requires
-        # checkpoint=True) and halve the step size by rescaling updates;
-        # without a checkpoint, stop with a clear error.
+        # checkpoint=True) and halve the step size by rescaling updates
+        # (adam/sgd paths; lbfgs restores only — its zoom linesearch sets
+        # its own step). Without a checkpoint, stop with a clear error.
         self.nan_guard = nan_guard
         self._nan_restores = 0
         self.callbacks = list(callbacks)
@@ -242,15 +265,21 @@ class Trainer:
         loss_fn = module.training_loss
 
         if not is_lbfgs:
-            def step(state: TrainState, batch):
+            def step(state: TrainState, batch, upd_scale):
                 loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
                 updates, opt_state = opt.update(grads, state.opt_state,
                                                 state.params)
+                # nan_guard divergence backoff: updates scaled by
+                # 0.5^n_restores (1.0 in normal operation); a traced scalar
+                # so restores don't retrigger compilation
+                updates = jax.tree.map(lambda u: u * upd_scale, updates)
                 params = optax.apply_updates(state.params, updates)
                 return TrainState(params, opt_state, state.step + 1), loss
             # donate the state: params/opt_state buffers are reused in place
             # instead of allocating fresh HBM every step
-            return jax.jit(step, donate_argnums=(0,))
+            jitted = jax.jit(step, donate_argnums=(0,))
+            return lambda state, batch: jitted(
+                state, batch, jnp.float32(0.5 ** self._nan_restores))
 
         max_iter = self.lbfgs_max_iter
 
@@ -316,16 +345,37 @@ class Trainer:
         first_batch = jax.tree.map(jnp.asarray, first_batch)
         if params is None:
             params = module.init_params(jax.random.key(self.seed), first_batch)
-        state = TrainState(params, opt.init(params), jnp.zeros((), jnp.int32))
-        if resume_from:
-            state = load_state(state, resume_from)
 
         if self.round_robin:
+            # Per-objective optimizer state (reference: one Adam PER FIELD,
+            # e1_ns_ldc_resmin.py:335-339) — sharing one opt_state would mix
+            # Adam moments across losses, and in lbfgs mode reuse a stale
+            # cached value/grad across objective switches (ADVICE r1).
+            # If the module scopes objectives to param subsets
+            # (objective_param_mask), freeze the other params' updates.
             n_obj = module.num_objectives
-            step_fns = [self._build_objective_step(module, opt, i, is_lbfgs)
+            mask_hook = getattr(module, "objective_param_mask", None)
+            opts = []
+            for i in range(n_obj):
+                mask = mask_hook(i, params) if mask_hook is not None else None
+                if mask is not None and not is_lbfgs:
+                    labels = jax.tree.map(
+                        lambda m: "train" if m else "freeze", mask)
+                    opts.append(optax.multi_transform(
+                        {"train": opt, "freeze": optax.set_to_zero()},
+                        labels))
+                else:
+                    opts.append(opt)
+            state = TrainState(params, tuple(o.init(params) for o in opts),
+                               jnp.zeros((), jnp.int32))
+            step_fns = [self._build_objective_step(module, opts[i], i,
+                                                   is_lbfgs)
                         for i in range(n_obj)]
             rr_counter = [0]
-            self.objective_losses = {i: [] for i in range(n_obj)}
+            # last loss PER OBJECTIVE, kept ON DEVICE — no per-step host
+            # sync, no unbounded history (VERDICT r1 weak 6); converted to
+            # float once per epoch for logging.
+            self._last_obj_loss: list = [None] * n_obj
 
             def step_fn(state, batch):
                 i = rr_counter[0] % n_obj
@@ -333,10 +383,14 @@ class Trainer:
                 state, loss = step_fns[i](state, batch)
                 # per-objective series (reference logs loss_u/v/p,
                 # e1_ns_ldc_resmin.py:326-328)
-                self.objective_losses[i].append(float(loss))
+                self._last_obj_loss[i] = loss
                 return state, loss
         else:
+            state = TrainState(params, opt.init(params),
+                               jnp.zeros((), jnp.int32))
             step_fn = self._build_step(module, opt, is_lbfgs)
+        if resume_from:
+            state = load_state(state, resume_from)
 
         if self.profile_dir:
             import jax.profiler as _prof
@@ -372,10 +426,10 @@ class Trainer:
             self.epoch_times.append(dt)
             metrics = {"epoch": epoch, "loss": epoch_loss, "PDE_loss": epoch_loss,
                        "time_sec": dt}
-            if self.round_robin and getattr(self, "objective_losses", None):
-                for i, series in self.objective_losses.items():
-                    if series:
-                        metrics[f"loss_obj{i}"] = series[-1]
+            if self.round_robin and getattr(self, "_last_obj_loss", None):
+                for i, v in enumerate(self._last_obj_loss):
+                    if v is not None:
+                        metrics[f"loss_obj{i}"] = float(v)
             if val_dataloader is not None:
                 cached = getattr(self, "_val_fn", None)
                 if cached is None or cached[0] is not module:
@@ -410,10 +464,17 @@ class Trainer:
 
     def _build_objective_step(self, module, opt, obj_idx: int,
                               is_lbfgs: bool = False):
-        """Per-objective update (reference optimizer_idx round-robin)."""
+        """Per-objective update (reference optimizer_idx round-robin).
+        ``state.opt_state`` is a TUPLE with one slot per objective; each step
+        reads/writes only its own slot (reference: separate Adam per field,
+        e1_ns_ldc_resmin.py:335-339)."""
 
         def loss_fn(params, batch):
             return module.objective_loss(obj_idx, params, batch)
+
+        def put(opt_states, new_i):
+            return tuple(new_i if j == obj_idx else s
+                         for j, s in enumerate(opt_states))
 
         if is_lbfgs:
             max_iter = self.lbfgs_max_iter
@@ -421,6 +482,17 @@ class Trainer:
             def step(state: TrainState, batch):
                 def f(p):
                     return loss_fn(p, batch)
+
+                # first inner iteration computes value/grad DIRECTLY: the
+                # cached pair in this objective's lbfgs state was taken at
+                # params since moved by the OTHER objectives' updates
+                # (ADVICE r1 stale-linesearch-baseline fix)
+                params, opt_state = state.params, state.opt_state[obj_idx]
+                value, grads = jax.value_and_grad(f)(params)
+                updates, opt_state = opt.update(
+                    grads, opt_state, params, value=value, grad=grads,
+                    value_fn=f)
+                params = optax.apply_updates(params, updates)
 
                 vg = optax.value_and_grad_from_state(f)
 
@@ -434,19 +506,20 @@ class Trainer:
                     return (params, opt_state), value
 
                 (params, opt_state), values = jax.lax.scan(
-                    inner, (state.params, state.opt_state), None,
-                    length=max_iter)
-                return TrainState(params, opt_state,
-                                  state.step + 1), values[-1]
+                    inner, (params, opt_state), None, length=max_iter - 1)
+                last = values[-1] if max_iter > 1 else value
+                return TrainState(params, put(state.opt_state, opt_state),
+                                  state.step + 1), last
 
             return jax.jit(step)
 
         def step(state: TrainState, batch):
             loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
-            updates, opt_state = opt.update(grads, state.opt_state,
+            updates, opt_state = opt.update(grads, state.opt_state[obj_idx],
                                             state.params)
             params = optax.apply_updates(state.params, updates)
-            return TrainState(params, opt_state, state.step + 1), loss
+            return TrainState(params, put(state.opt_state, opt_state),
+                              state.step + 1), loss
 
         return jax.jit(step)
 

@@ -44,7 +44,12 @@ def ilu_from_operator(matvec, n, drop_tol=1e-4, fill_factor=10.0):
     cols = [np.asarray(matvec(np.eye(n, dtype=np.float32)[i]))
             for i in range(n)]
     A = sp.csc_matrix(np.stack(cols, axis=1))
-    ilu = spla.spilu(A, drop_tol=drop_tol, fill_factor=fill_factor)
+    # NATURAL ordering + no diagonal pivoting: spilu's default COLAMD
+    # permutations would make ilu.L the L-factor of P_r A P_c, not of A, and
+    # inv(L) a far weaker left preconditioner for the UNpermuted residual
+    ilu = spla.spilu(A, drop_tol=drop_tol, fill_factor=fill_factor,
+                     permc_spec="NATURAL",
+                     options={"DiagPivotThresh": 0.0})
     # inv(L) via triangular solve against identity
     from scipy.linalg import solve_triangular
 

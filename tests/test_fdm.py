@@ -128,3 +128,20 @@ def test_fs_learned_kernel():
     # smoothing direction leaves constants intact
     dy = np.asarray(f.dy(u, mode="interior"))
     np.testing.assert_allclose(dy, 0.0, atol=1e-3)
+
+
+def test_fs_kernel_num_pt_handling():
+    """ktype='fs' is a fixed 5-tap stencil: default num_pt upgrades to 5 and
+    works; incompatible values raise (ADVICE r1)."""
+    import pytest
+
+    from diffnet_tpu.core.fdm import make_fdm
+
+    fdm = make_fdm(2, 17, ktype="fs")  # default num_pt=3 silently -> 5
+    assert fdm.num_pt == 5
+    u = jnp.asarray(np.linspace(0, 1, 17)[None, :]
+                    * np.ones((17, 1)))[None]
+    d = fdm.dx(u, mode="full")
+    assert d.shape == u.shape
+    with pytest.raises(ValueError):
+        make_fdm(2, 17, ktype="fs", num_pt=4)

@@ -481,3 +481,100 @@ def test_coarse_to_fine_continuation():
     eL2, _, uex = module.calc_l2_err(u)
     rel = float(eL2 / uex)
     assert rel < 2e-3, rel  # cold 33^2 with 15 epochs lands ~1e-2
+
+
+def test_round_robin_per_objective_opt_state_and_scoping():
+    """Round-robin keeps one opt_state PER objective and, when the module
+    scopes objectives via objective_param_mask, each objective's step updates
+    ONLY its own params (reference: one Adam per field network,
+    e1_ns_ldc_resmin.py:335-339)."""
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+
+    class Scoped:
+        num_objectives = 2
+        dataset = None
+        batch_size = 1
+        learning_rate = 0.1
+
+        class Net:
+            def init(self, rng, x):
+                return {"field_0": jnp.ones(()), "field_1": jnp.ones(())}
+
+            def apply(self, params, x):
+                return params
+
+        network = Net()
+
+        def init_params(self, rng, batch):
+            return self.network.init(rng, None)
+
+        def objective_loss(self, idx, params, batch):
+            # each loss depends on BOTH params; scoping must still keep the
+            # other field frozen during this objective's step
+            both = params["field_0"] + 0.1 * params["field_1"]
+            return (both - (3.0 if idx == 0 else -2.0)) ** 2
+
+        def objective_param_mask(self, idx, params):
+            key = f"field_{idx}"
+            return {k: k == key for k in params}
+
+    ds = InMemoryDataset(np.zeros((1, 1), np.float32),
+                         np.zeros((1, 1), np.float32))
+    tr = Trainer(max_epochs=1, optimizer="adam", learning_rate=0.1,
+                 round_robin=True)
+    st = tr.fit(Scoped(), NumpyLoader(ds, batch_size=1))
+    # one epoch = one batch = one step = objective 0 only
+    assert isinstance(st.opt_state, tuple) and len(st.opt_state) == 2
+    assert float(st.params["field_0"]) != 1.0   # objective 0 moved its field
+    assert float(st.params["field_1"]) == 1.0   # field_1 frozen this step
+
+
+def test_round_robin_no_per_step_host_sync():
+    """The per-objective loss bookkeeping keeps device arrays (no float()
+    in the step path) and only the LAST value per objective."""
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+
+    class TwoObj:
+        num_objectives = 2
+        dataset = None
+        batch_size = 1
+        learning_rate = 0.1
+
+        class Net:
+            def init(self, rng, x):
+                return {"a": jnp.ones(())}
+
+            def apply(self, params, x):
+                return params
+
+        network = Net()
+
+        def init_params(self, rng, batch):
+            return self.network.init(rng, None)
+
+        def objective_loss(self, idx, params, batch):
+            return (params["a"] - idx) ** 2
+
+    ds = InMemoryDataset(np.zeros((4, 1), np.float32),
+                         np.zeros((4, 1), np.float32))
+    tr = Trainer(max_epochs=3, optimizer="adam", round_robin=True)
+    tr.fit(TwoObj(), NumpyLoader(ds, batch_size=1))
+    assert len(tr._last_obj_loss) == 2
+    for v in tr._last_obj_loss:
+        assert isinstance(v, jax.Array)  # stayed on device
+
+
+def test_csv_logger_extends_fieldnames(tmp_path):
+    """Metric keys appearing after the first epoch are added to the header
+    instead of silently dropped (ADVICE r1)."""
+    import csv as _csv
+
+    from diffnet_tpu.train.trainer import CSVLogger
+
+    lg = CSVLogger(str(tmp_path))
+    lg.log({"epoch": 0, "loss": 1.0})
+    lg.log({"epoch": 1, "loss": 0.5, "val_loss": 0.7})
+    with open(lg.path) as f:
+        rows = list(_csv.DictReader(f))
+    assert "val_loss" in rows[1] and rows[1]["val_loss"] == "0.7"
+    assert rows[0]["val_loss"] == ""  # back-filled empty for earlier epochs
