@@ -65,30 +65,17 @@ def main():
              (-f_gp, "N")], basis, (n, n))
         return jnp.where(bc > 0.5, 0.0, R)
 
-    # production default (round 2): element-tensor formulation — nu patches
-    # contracted against the static [4,4,4] element tensor (one matmul), then
-    # a batched per-element matvec; zero Gauss-point intermediates in HBM
+    # production default (round 2): element-tensor formulation — the static
+    # [4,4,4] element tensor expanded as one fused stencil expression over
+    # shifted u/nu views; zero Gauss-point intermediates in HBM
     # (pde/poisson.py::poisson_resmin_residual_et, core/fem.py::element_action)
     A = fem.element_tensor(basis, ("dx", "dy"))
-    Af = jnp.asarray(A.reshape(4, 16), dt)
-    NjxwT = jnp.asarray(basis.tables["N"] * basis.jxw[:, None], dt)
 
     @jax.jit
     def residual_et(u, nu, f_gp):
-        ce = fem.gather_elements(nu, 1, 2)
-        ue = fem.gather_elements(u, 1, 2)
-        t1 = jax.lax.dot_general(
-            ce, Af, (((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST).astype(u.dtype)
-        t1 = t1.reshape(t1.shape[:-1] + (4, 4))
-        fe = jax.lax.dot_general(
-            f_gp, NjxwT, (((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST).astype(u.dtype)
-        r = jnp.sum(t1 * ue[..., None, :], -1) - fe
-        R = fem.scatter_elements(r, 1, 2, (n, n))
-        return jnp.where(bc > 0.5, 0.0, R)
+        Ku = fem.element_action(u, nu, A, basis, (n, n))
+        Nf = fem.galerkin_project(f_gp, basis, "N", (n, n))
+        return jnp.where(bc > 0.5, 0.0, Ku - Nf)
 
     # reference-algorithm port: one conv per gauss point per quantity
     # (12 convs for dx/dy/N here), then the same projection/assembly

@@ -345,8 +345,17 @@ def element_action(u: jax.Array, coeff: jax.Array, A: np.ndarray,
     projection matmuls (docs/KERNELS.md). Mathematically identical to
     ``galerkin_project(sum_q coeff_gp * d^q u_gp)`` up to float round-off
     (different association order).
+
+    For deg-1 the contraction is expanded as a pure-STENCIL expression
+    (products of shifted u/coeff views, pad+sum assembled) instead of
+    matmuls: the trailing nbf axis is tiny (4 / 8), so a dot wastes the
+    128-wide vector lanes / MXU tiles, while the stencil form keeps the x
+    axis on the lanes and fuses into a single VPU pass whose HBM traffic is
+    just (read u, read coeff, write R) — the roofline for this op.
     """
     nbf = basis.nbf_total
+    if basis.deg == 1:
+        return _element_action_stencil(u, coeff, A, basis, node_shape)
     coeff_e = gather_elements(coeff, basis.deg, basis.nsd)  # [..., nel*, nbf]
     u_e = gather_elements(u, basis.deg, basis.nsd)
     Af = jnp.asarray(np.asarray(A, np.float64).reshape(nbf, nbf * nbf),
@@ -361,6 +370,56 @@ def element_action(u: jax.Array, coeff: jax.Array, A: np.ndarray,
     t1 = t1.reshape(t1.shape[:-1] + (nbf, nbf))
     r_elem = jnp.sum(t1 * u_e[..., None, :], axis=-1)
     return scatter_elements(r_elem, basis.deg, basis.nsd, node_shape)
+
+
+def _element_views(x: jax.Array, nsd: int) -> list[jax.Array]:
+    """deg-1 per-corner views of a nodal field on the element grid, ordered
+    by the linear local-dof id (x fastest)."""
+    nel = num_elements(x.shape[-nsd:], 1)
+    return [_strided_slice(x, nsd, offs, 1, nel)
+            for offs in np.ndindex(*((2,) * nsd))]
+
+
+def _element_action_stencil(u, coeff, A, basis, node_shape):
+    """deg-1 element_action as one fused elementwise (VPU) expression:
+
+        out = sum_a pad_a( sum_{b,c} A[c,a,b] * u_view_b * coeff_view_c )
+
+    where the views are the 2^nsd corner slices on the element grid and
+    pad_a zero-pads each local-dof contribution back to node shape. No
+    matmul, no per-element patch tensors, no GP intermediates — XLA fuses
+    the whole expression into a single stencil pass."""
+    nsd = basis.nsd
+    uv = _element_views(u, nsd)
+    cv = _element_views(coeff, nsd)
+    nbf = basis.nbf_total
+    A = np.asarray(A)
+    # shared corner products P[b,c]; reused across all nbf output dofs
+    prods = {}
+
+    def prod(b, c):
+        if (b, c) not in prods:
+            prods[(b, c)] = uv[b] * cv[c]
+        return prods[(b, c)]
+
+    nel = num_elements(node_shape, 1)
+    batch_ndim = u.ndim - nsd
+    total = None
+    for a, offs in enumerate(np.ndindex(*((2,) * nsd))):
+        r_a = None
+        for c in range(nbf):
+            for b in range(nbf):
+                w = float(A[c, a, b])
+                if w == 0.0:
+                    continue
+                term = w * prod(b, c)
+                r_a = term if r_a is None else r_a + term
+        pad = [(0, 0)] * batch_ndim + [
+            (int(o), int(ns) - int(o) - ne)
+            for o, ns, ne in zip(offs, node_shape, nel)]
+        piece = jnp.pad(r_a, pad)
+        total = piece if total is None else total + piece
+    return total
 
 
 def gp_eval_1d(u_line: jax.Array, basis: FEMBasis,

@@ -72,31 +72,12 @@ def poisson_resmin_residual_et(module, u, nu, f_gp, bc_mask):
     Mathematically identical to :func:`poisson_resmin_residual` up to
     round-off; the production default for deg-1 grids."""
     from ..core import fem as _fem
-    basis = module.basis
-    nbf = basis.nbf_total
-    coeff_e = _fem.gather_elements(nu, basis.deg, basis.nsd)
-    u_e = _fem.gather_elements(u, basis.deg, basis.nsd)
-    Af = jnp.asarray(
-        module._poisson_et_tensor.reshape(nbf, nbf * nbf), u.dtype)
-    t1 = jax.lax.dot_general(
-        coeff_e, Af,
-        dimension_numbers=(((coeff_e.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(u.dtype)
-    t1 = t1.reshape(t1.shape[:-1] + (nbf, nbf))
-    # forcing projection folded into the SAME per-element vector so assembly
-    # is one scatter: r_e[a] = sum_b t1[a,b] u_b - sum_gp N[gp,a] jxw f_gp
-    NjxwT = jnp.asarray(
-        (basis.tables["N"] * basis.jxw[:, None]), u.dtype)  # [ngp, nbf]
-    f_e = jax.lax.dot_general(
-        f_gp, NjxwT,
-        dimension_numbers=(((f_gp.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).astype(u.dtype)
-    r_elem = jnp.sum(t1 * u_e[..., None, :], axis=-1) - f_e
-    R = _fem.scatter_elements(r_elem, basis.deg, basis.nsd, module.node_shape)
+    Ku = _fem.element_action(u, nu, module._poisson_et_tensor, module.basis,
+                             module.node_shape)
+    # for static MMS forcing f_gp is a jit constant, so this projection is
+    # constant-folded by XLA; for dynamic f it is one small matmul + scatter
+    Nf = _fem.galerkin_project(f_gp, module.basis, "N", module.node_shape)
+    R = Ku - Nf
     return jnp.where(bc_mask > 0.5, jnp.zeros_like(R), R)
 
 
