@@ -403,15 +403,19 @@ class VoxelIMBackRAW(SingleInstanceDataset):
     """Voxelized object embedded at offset 32 into a 64^3 background domain
     (voxels.py:35-64)."""
 
-    def __init__(self, file_prefix, domain_size=64):
+    def __init__(self, file_prefix, domain_size=64, offset=32):
         vox, _, _, _ = load_raw(file_prefix)
         n = domain_size
         domain = np.ones((n, n, n))
-        sx, sy, sz = vox.shape
-        domain[32:32 + sx, 32:32 + sy, 32:32 + sz] = 1 - vox
+        # clip the voxel block to the embedding window (the reference's
+        # unclipped slice-assign crashes when a model — e.g. the shipped
+        # Hand at 76x48x200 — exceeds domain_size - offset)
+        sx, sy, sz = (min(s, n - offset) for s in vox.shape)
+        o = offset
+        domain[o:o + sx, o:o + sy, o:o + sz] = 1 - vox[:sx, :sy, :sz]
         self.domain = domain
         self.bc1 = np.zeros((n, n, n))
-        self.bc1[32:32 + sx, 32:32 + sy, 32:32 + sz] = vox
+        self.bc1[o:o + sx, o:o + sy, o:o + sz] = vox[:sx, :sy, :sz]
         bc2 = np.zeros((n, n, n))
         bc2[[0, -1], :, :] = 1; bc2[:, [0, -1], :] = 1; bc2[:, :, [0, -1]] = 1
         self.bc2 = bc2

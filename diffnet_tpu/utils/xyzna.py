@@ -1,7 +1,16 @@
-"""Point-cloud .xyzna ASCII IO: x y z nx ny nz [area] per line.
+"""Point-cloud .xyzna ASCII IO.
 
-Reference: examples/eiqonal/single_instance/xyzna_writer.py:1-13 /
-xyzna_reader.py:1-22.
+The reference format (examples/eiqonal/single_instance/xyzna_writer.py:1-13 /
+xyzna_reader.py:1-22, used by the shipped ``model.xyzna``) is BLOCK layout:
+
+    N
+    x y z        (N lines)
+    nx ny nz     (N lines)
+    area         (N lines)
+
+``read_xyzna`` also accepts a flat column layout (``x y z nx ny nz [area]``
+per line, no header) for interop with generic tools; ``write_xyzna`` emits
+the reference block format so files round-trip through the reference reader.
 """
 
 from __future__ import annotations
@@ -13,7 +22,27 @@ __all__ = ["read_xyzna", "write_xyzna"]
 
 def read_xyzna(path):
     """Returns (points[N,3], normals[N,3], areas[N]); areas zero-filled if
-    the file has only 6 columns."""
+    absent."""
+    with open(path) as f:
+        first = f.readline().split()
+    if len(first) == 1:
+        # reference block format with a count header (rows are ragged across
+        # blocks — 3 columns then 1 — so parse by streaming like the
+        # reference reader does)
+        with open(path) as f:
+            n = int(f.readline().strip())
+            points = np.array([[float(v) for v in f.readline().split()[:3]]
+                               for _ in range(n)])
+            normals = np.array([[float(v) for v in f.readline().split()[:3]]
+                                for _ in range(n)])
+            areas = []
+            for _ in range(n):
+                line = f.readline().split()
+                if not line:
+                    break
+                areas.append(float(line[0]))
+        areas = (np.asarray(areas) if len(areas) == n else np.zeros(n))
+        return points, normals, areas
     data = np.loadtxt(path)
     if data.ndim == 1:
         data = data[None]
@@ -24,9 +53,19 @@ def read_xyzna(path):
 
 
 def write_xyzna(path, points, normals, areas=None):
-    points = np.asarray(points, np.float64)
-    normals = np.asarray(normals, np.float64)
-    cols = [points, normals]
-    if areas is not None:
-        cols.append(np.asarray(areas, np.float64).reshape(-1, 1))
-    np.savetxt(path, np.concatenate(cols, axis=1), fmt="%.10g")
+    """Write the reference block format (count header, then point/normal/area
+    blocks) so output is readable by the reference's xyzna_reader."""
+    points = np.asarray(points, np.float64).reshape(-1, 3)
+    normals = np.asarray(normals, np.float64).reshape(-1, 3)
+    n = len(points)
+    if areas is None:
+        areas = np.zeros(n)
+    areas = np.asarray(areas, np.float64).reshape(-1)
+    with open(path, "w") as f:
+        f.write(f"{n}\n")
+        for row in points:
+            f.write("%.18f %.18f %.18f\n" % tuple(row))
+        for row in normals:
+            f.write("%.18f %.18f %.18f\n" % tuple(row))
+        for a in areas:
+            f.write("%.18f\n" % a)
