@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["StokesMMSDataset", "NSLDCDataset", "FlowPastObjectDataset"]
+__all__ = ["StokesMMSDataset", "NSLDCDataset", "FlowPastObjectDataset",
+           "FlowPastObjectEnsemble", "synthetic_obstacles"]
 
 
 class _FlowBase:
@@ -95,3 +96,47 @@ class FlowPastObjectDataset(_FlowBase):
         self.u_bc = np.zeros((ny, nx), np.float32)
         self.u_bc[:, 0] = inlet
         self.channels = [self.x, self.y, self.bc1, self.bc2, self.bc3, chi]
+
+
+def synthetic_obstacles(n_samples, shape=(64, 128), domain_lengths=(4.0, 1.0),
+                        seed=0):
+    """Random ellipse obstacle masks in the front half of the channel — a
+    data-free stand-in for the reference's airfoil-image ensemble
+    (e2_ns_fpc_embedded_airfoil.py loads a directory of binary images)."""
+    ny, nx = shape
+    Lx, Ly = domain_lengths
+    x = np.linspace(0, Lx, nx)
+    y = np.linspace(0, Ly, ny)
+    xx, yy = np.meshgrid(x, y)
+    rng = np.random.default_rng(seed)
+    chis = []
+    for _ in range(n_samples):
+        cx = rng.uniform(0.6, 1.6)
+        cy = rng.uniform(0.35 * Ly, 0.65 * Ly)
+        rx = rng.uniform(0.12, 0.3)
+        ry = rng.uniform(0.06, 0.14) * Ly
+        th = rng.uniform(-0.3, 0.3)
+        dx, dy = xx - cx, yy - cy
+        xr = np.cos(th) * dx + np.sin(th) * dy
+        yr = -np.sin(th) * dx + np.cos(th) * dy
+        chis.append(((xr / rx) ** 2 + (yr / ry) ** 2 < 1.0).astype(float))
+    return chis
+
+
+class FlowPastObjectEnsemble(_FlowBase):
+    """PARAMETRIC flow-past-object dataset: an ensemble of obstacle masks
+    (real airfoil images or synthetic), each sample a full channel-flow
+    instance with the object folded into the no-slip masks — the reference's
+    NS_FPC_Dataset over an image directory
+    (e2_ns_fpc_embedded_airfoil.py:95-158). The network (e.g. MultiOutUNet)
+    maps the per-sample input stack to (u, v, p)."""
+
+    def __init__(self, chis, domain_lengths=(4.0, 1.0), Re=100):
+        self.instances = [FlowPastObjectDataset(c, domain_lengths, Re)
+                          for c in chis]
+        self.Re = Re
+        self.u_bc = self.instances[0].u_bc  # inlet profile (shared geometry)
+        self.n_samples = len(self.instances)
+
+    def __getitem__(self, index):
+        return self.instances[index % len(self.instances)][0]

@@ -1,7 +1,7 @@
 #!/usr/bin/env bash
-# Smoke-run every example (counterpart of the reference run*.sh orchestration
-# scripts, e.g. examples/poisson/parametric/run-multiple.sh). Small configs;
-# pass OUT=dir to redirect outputs.
+# Smoke-run EVERY example CLI (counterpart of the reference run*.sh
+# orchestration scripts, e.g. examples/poisson/parametric/run-multiple.sh).
+# Small configs; pass OUT=dir to redirect outputs.
 set -e
 cd "$(dirname "$0")/.."
 OUT="${OUT:-runs}"
@@ -12,7 +12,16 @@ time python examples/stokes_mms.py        --domain-size 32 --max-epochs 150 --ou
 time python examples/ns_ldc.py            --domain-size 32 --max-epochs 100 --out-dir "$OUT"
 time python examples/eikonal_reconstruction.py --domain-size 32 --max-epochs 150 --out-dir "$OUT"
 time python examples/poisson_ibn_parametric.py -b 16 --n-samples 32 --max-epochs 2 --out-dir "$OUT"
+time python examples/ibn_3d.py            --domain-size 16 --batch-size 4 --n-samples 8 --max-epochs 2 --out-dir "$OUT"
 time python examples/klsum_uq.py          --n-train 32 --n-query 64 --max-epochs 3 --out-dir "$OUT"
+time python examples/query_run.py         "$OUT"/klsum/version_0 --n-query 64
+time python examples/multichip_scaling.py --devices 8 --data 4 --space 2 --domain-size 32 --batch-size 8 --steps 5
 
-time python examples/more_physics.py helmholtz --domain-size 32 --max-epochs 60 --out-dir "$OUT"
+for PHYS in helmholtz advdiff allen-cahn burgers fsdt topopt; do
+  time python examples/more_physics.py "$PHYS" --domain-size 32 --max-epochs 60 --out-dir "$OUT"
+done
+
+time python examples/ns_fpc_parametric.py --max-epochs 2 --n-samples 4 --batch-size 2 --width 64 --height 32 --out-dir "$OUT"
+time python examples/eikonal_airfoil.py   --domain-size 32 --max-epochs 60 --out-dir "$OUT"
+time python examples/sweep.py --physics klsum --param n_train --values 8,16 --domain-size 16 --max-epochs 2 --out-dir "$OUT"
 echo "ALL EXAMPLES OK"

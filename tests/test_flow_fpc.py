@@ -76,3 +76,44 @@ def test_weak_form_ldc_trains():
                  lbfgs_max_iter=10).fit(m, NumpyLoader(ds, 1))
     loss1 = float(m.training_loss(st.params, batch))
     assert np.isfinite(loss1) and loss1 < loss0
+
+
+def test_fpc_parametric_ensemble_multiout_unet():
+    """Parametric NS-FPC (reference e2_ns_fpc_embedded_airfoil.py:241-414):
+    obstacle-mask ensemble -> shared-encoder MultiOutUNet -> VMS residuals
+    with per-field round-robin updates. Asserts the inlet profile, no-slip on
+    the obstacle, and flow acceleration around it."""
+    import jax
+
+    from diffnet_tpu.data.flow import FlowPastObjectEnsemble, \
+        synthetic_obstacles
+    from diffnet_tpu.data.loader import NumpyLoader
+    from diffnet_tpu.models.networks import MultiOutUNet
+
+    ny, nx = 32, 64
+    chis = synthetic_obstacles(2, (ny, nx), (4.0, 1.0), seed=3)
+    ds = FlowPastObjectEnsemble(chis, domain_lengths=(4.0, 1.0), Re=50)
+    net = MultiOutUNet(num_outputs=3, out_channels=1, base_filters=2)
+    m = NavierStokes(net, ds, domain_lengths=(4.0, 1.0),
+                     domain_sizes=(nx, ny), batch_size=2, Re=50,
+                     u_bc=ds.u_bc, loss_norm="squared")
+    loader = NumpyLoader(ds, batch_size=2, shuffle=False)
+    batch = jax.tree.map(jnp.asarray, next(iter(loader)))
+    p0 = m.init_params(jax.random.key(0), batch)
+    loss0 = float(m.training_loss(p0, batch))
+    tr = Trainer(max_epochs=150, optimizer="adam", learning_rate=2e-3,
+                 round_robin=True)
+    st = tr.fit(m, loader, params=p0)
+    loss1 = float(m.training_loss(st.params, batch))
+    assert np.isfinite(loss1) and loss1 < 0.5 * loss0, (loss0, loss1)
+
+    u, v, p = m.apply_bcs(net.apply(st.params, batch[0]), batch[0])
+    u = np.asarray(u)
+    for i, chi in enumerate(chis):
+        # inlet parabolic profile honored per sample
+        np.testing.assert_allclose(u[i][:, 0], np.asarray(ds.u_bc)[:, 0],
+                                   atol=1e-5)
+        # no-slip on each sample's own obstacle
+        assert np.abs(u[i][chi > 0.5]).max() < 1e-5
+    # flow accelerates around at least one obstacle
+    assert u.max() > np.asarray(ds.u_bc)[:, 0].max() * 1.02, u.max()
