@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["MLP", "ImmDiff", "ImmDiffVAE", "ImmDiffLarge",
+__all__ = ["MLP", "ConvNet1D", "ImmDiff", "ImmDiffVAE", "ImmDiffLarge",
            "ImmDiffLargeNormals", "EikonalLinear", "DGCNN2D",
            "knn_indices", "graph_feature"]
 
@@ -39,6 +39,32 @@ class MLP(nn.Module):
             x = nn.Dense(f)(x)
             last = i == len(self.features) - 1
             if not last:
+                x = self.nonlin(x)
+            elif self.final_nonlin is not None:
+                x = self.final_nonlin(x)
+        return x
+
+
+class ConvNet1D(nn.Module):
+    """The reference's ``ConvNet`` point-cloud decoder
+    (immdiff_networks.py:7-24): a stack of stride-2 1D transpose
+    convolutions, one per hidden channel width, each followed by the
+    nonlinearity (the final layer by ``final_nonlin``). Channels-last:
+    ``[B, L, C_in] -> [B, ~L*2^(n_layers), C_out]`` (each stride-2
+    ConvTranspose with kernel 2 exactly doubles the length)."""
+
+    hidden_channels: Sequence[int]
+    out_channels: int = 1
+    kernel: int = 2
+    nonlin: Callable = nn.relu
+    final_nonlin: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        widths = list(self.hidden_channels) + [self.out_channels]
+        for i, c in enumerate(widths):
+            x = nn.ConvTranspose(c, (self.kernel,), strides=(2,))(x)
+            if i < len(widths) - 1:
                 x = self.nonlin(x)
             elif self.final_nonlin is not None:
                 x = self.final_nonlin(x)

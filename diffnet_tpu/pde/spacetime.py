@@ -27,7 +27,25 @@ class SpaceTimeHeat(FEM2DModule):
         super().__init__(network, dataset, **kwargs)
         self.diffusivity = float(
             kwargs.get("diffusivity", getattr(dataset, "diffusivity", 0.1)))
-        self.tau = 1.0 / (2.0 / self.h)
+        # SUPG-in-time stabilization parameter. The reference hardcodes the
+        # advection-limit value tau = h/2 (e3_st_mms_resmin.py:52), but the
+        # stabilization term tau (u_t - f) v_t omits the diffusion part of
+        # the residual (zero for Q1 elements), leaving an O(tau * nu * u_xx)
+        # consistency error — with tau ~ h that caps convergence at O(h)
+        # (measured 0.92, CONVERGENCE.md r1). The Peclet-weighted formula
+        # the reference itself uses for adv-diff SUPG
+        # (e17_adv_diff_2d_resmin.py:54-75), with unit "advection" along t
+        # and diffusion in x, shrinks tau like h^2/nu in the
+        # diffusion-dominated limit and restores O(h^2). tau="reference"
+        # keeps the h/2 parity behavior.
+        tau_mode = kwargs.get("tau", "pe")
+        if tau_mode == "reference":
+            self.tau = 1.0 / (2.0 / self.hy)
+        elif tau_mode == "pe":
+            self.tau = 1.0 / (2.0 / self.hy
+                              + 4.0 * self.diffusivity / self.hx**2)
+        else:
+            self.tau = float(tau_mode)
         self.u0 = np.asarray(
             kwargs.get("u0", getattr(dataset, "u0", np.zeros(self.node_shape))),
             np.float32)

@@ -57,7 +57,7 @@ def solve_helmholtz(n, epochs=100):
     return float(eL2 / uex)
 
 
-def solve_spacetime(n, epochs=150):
+def solve_spacetime(n, epochs=300):
     import jax.numpy as jnp
 
     from diffnet_tpu.data.single_instances import \
@@ -129,8 +129,8 @@ def main():
     rate_row("Poisson 2D resmin deg3", [7, 13] if args.quick else [7, 13, 25],
              lambda n: solve_poisson(n, 3, "resmin"), "4 (O(h^4))")
     rate_row("Helmholtz 2D (k=0.5)", g2, solve_helmholtz, "2 (O(h^2))")
-    rate_row("Space-time heat (SUPG)", [17, 33],
-             solve_spacetime, "~1-2 (stabilized)")
+    rate_row("Space-time heat (SUPG)", [9, 17] if args.quick else [9, 17, 33],
+             lambda n: solve_spacetime(n, epochs=300), "2 (O(h^2))")
     rate_row("Poisson 3D resmin deg1", [9, 17],
              solve_poisson3d, "2 (O(h^2))")
 

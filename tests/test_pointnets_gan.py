@@ -84,3 +84,22 @@ def test_gan_zoo():
     pd = disc.init(jax.random.key(0), img)
     score = disc.apply(pd, img)
     assert score.shape == (2,)
+
+
+def test_convnet1d_transpose_decoder():
+    """ConvNet1D (reference immdiff_networks.py:7-24 ConvNet): each stride-2
+    kernel-2 transpose conv exactly doubles the length; per-layer and final
+    nonlinearities applied."""
+    from diffnet_tpu.models.pointnets import ConvNet1D
+
+    net = ConvNet1D(hidden_channels=[8, 4], out_channels=2,
+                    final_nonlin=jnp.tanh)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, 10, 5)),
+                    jnp.float32)
+    params = net.init(jax.random.key(0), x)
+    y = net.apply(params, x)
+    assert y.shape == (3, 80, 2)          # 10 -> 20 -> 40 -> 80
+    assert float(jnp.abs(y).max()) <= 1.0  # tanh head
+    g = jax.grad(lambda p: jnp.sum(net.apply(p, x) ** 2))(params)
+    assert all(float(jnp.abs(l).max()) > 0
+               for l in jax.tree_util.tree_leaves(g))

@@ -476,11 +476,11 @@ def test_coarse_to_fine_continuation():
         return m, net
 
     module, state = coarse_to_fine(factory, grids=[9, 17, 33],
-                                   epochs=[20, 15, 15])
+                                   epochs=[20, 15, 25])
     u = module.network.apply(state.params)[0]
     eL2, _, uex = module.calc_l2_err(u)
     rel = float(eL2 / uex)
-    assert rel < 2e-3, rel  # cold 33^2 with 15 epochs lands ~1e-2
+    assert rel < 1e-3, rel  # cold 33^2 at this budget lands ~1e-2
 
 
 def test_round_robin_per_objective_opt_state_and_scoping():
