@@ -36,6 +36,24 @@ def _timeit(fn, *args, iters=30, warmup=5):
     return (time.perf_counter() - t0) / iters
 
 
+def _timeit_chained(fn, u, *args, iters=30, warmup=5):
+    """Time with the output fed back into the next call's input (requires
+    output shape == u shape). Repeated identical calls can be served from a
+    result cache by this image's experimental TPU relay, inflating plain
+    loop timings; chaining forces every iteration to compute."""
+    import jax
+
+    r = u
+    for _ in range(warmup):
+        r = fn(r, *args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(r, *args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -44,7 +62,11 @@ def main():
     from diffnet_tpu.core.quadrature import make_basis
 
     n = int(os.environ.get("DIFFNET_BENCH_SIZE", "512"))
-    bs = int(os.environ.get("DIFFNET_BENCH_BATCH", "8"))
+    # batch 32: at batch 8 the measurement is dominated by this image's
+    # relay round-trip latency (~2 ms/call regardless of content), which
+    # also inflates vs_baseline by hobbling the many-kernel reference port
+    # more than our fused path; 32 amortizes it for both sides
+    bs = int(os.environ.get("DIFFNET_BENCH_BATCH", "32"))
     # optional dtype variant (e.g. DIFFNET_BENCH_DTYPE=bfloat16); accuracy
     # impact of bf16 is measured in docs/MIXED_PRECISION.md
     dt = jnp.dtype(os.environ.get("DIFFNET_BENCH_DTYPE", "float32"))
@@ -105,9 +127,14 @@ def main():
              - fem.galerkin_project(f_gp, basis, "N", (n, n)))
         return jnp.where(bc > 0.5, 0.0, R)
 
-    t_et = _timeit(residual_et, u, nu, f_gp)
-    t_fused = _timeit(residual_fused, u, nu, f_gp)
-    t_ref = _timeit(residual_reference_style, u, nu, f_gp)
+    def chained(fn):
+        # feed the residual back into u so no two iterations are identical
+        # (see _timeit_chained); the extra axpy is negligible
+        return jax.jit(lambda u, nu, f_gp: fn(u, nu, f_gp) * 1e-6 + u)
+
+    t_et = _timeit_chained(chained(residual_et), u, nu, f_gp)
+    t_fused = _timeit_chained(chained(residual_fused), u, nu, f_gp)
+    t_ref = _timeit_chained(chained(residual_reference_style), u, nu, f_gp)
 
     # opt-in: time the fully-fused Pallas kernel (ops/poisson_residual.py).
     # NOT in the default run — compiled Pallas launches hang this image's
@@ -138,6 +165,8 @@ def main():
         "unit": "elem/s",
         "vs_baseline": float(f"{t_ref / t_et:.4g}"),
         "gp_pipeline_elem_per_sec": float(f"{elems / t_fused:.4g}"),
+        "batch": bs,
+        "timing": "chained",
     }
     if t_pallas is not None:
         result["pallas_fused_elem_per_sec"] = float(
@@ -150,17 +179,34 @@ def main():
     if os.environ.get("DIFFNET_BENCH_PRIMARY_ONLY"):
         return
     # supplementary metrics from BASELINE.json ("training steps/sec; final
-    # L2 error") — default-on at wedge-safe scale (VERDICT r1 item 2)
-    try:
-        result.update(_steps_per_sec())
-    except Exception as e:  # keep earlier metrics robust
-        result["steps_error"] = str(e)[:200]
+    # L2 error") — default-on, each in its OWN watchdogged subprocess: the
+    # relay can wedge under sustained load, and a per-phase subprocess
+    # keeps one wedged phase from eating the others (VERDICT r1 item 2).
+    # The L2 phase is an ACCURACY metric, so it runs CPU-pinned and
+    # completes even with the relay down.
+    result.update(_run_phase("--steps-only", timeout=420))
     print(json.dumps(result), flush=True)
+    result.update(_run_phase("--l2-only", timeout=600))
+    print(json.dumps(result), flush=True)
+
+
+def _run_phase(flag, timeout):
+    """Run `python bench.py <flag>` in a subprocess; return its last JSON
+    line, or an error marker on timeout/failure."""
+    key = flag.strip("-").replace("-", "_") + "_error"
     try:
-        result.update(_final_l2())
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), flag],
+            capture_output=True, text=True, timeout=timeout)
+        for line in reversed(out.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+        return {key: f"no JSON: {out.stdout[-200:]} {out.stderr[-200:]}"}
+    except subprocess.TimeoutExpired:
+        return {key: "phase timed out (relay wedge?)"}
     except Exception as e:
-        result["l2_error"] = str(e)[:200]
-    print(json.dumps(result), flush=True)
+        return {key: str(e)[:200]}
 
 
 def _steps_per_sec():
@@ -258,7 +304,17 @@ def _guarded():
 
 
 if __name__ == "__main__":
-    if "--inner" in sys.argv:
+    if "--steps-only" in sys.argv:
+        print(json.dumps(_steps_per_sec()), flush=True)
+    elif "--l2-only" in sys.argv:
+        # accuracy metric — pin CPU BEFORE any jax computation so it
+        # completes even when the TPU relay is wedged (sitecustomize
+        # force-registers the axon plugin; the config update overrides it)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        print(json.dumps(_final_l2()), flush=True)
+    elif "--inner" in sys.argv:
         main()
     else:
         _guarded()
