@@ -354,7 +354,9 @@ def element_action(u: jax.Array, coeff: jax.Array, A: np.ndarray,
     just (read u, read coeff, write R) — the roofline for this op.
     """
     nbf = basis.nbf_total
-    if basis.deg == 1:
+    if basis.deg == 1 and basis.nsd <= 2:
+        # 3D stays on the matmul form: the trilinear expansion is 8x64
+        # fused terms, measured ~2x slower than the GP pipeline on CPU
         return _element_action_stencil(u, coeff, A, basis, node_shape)
     coeff_e = gather_elements(coeff, basis.deg, basis.nsd)  # [..., nel*, nbf]
     u_e = gather_elements(u, basis.deg, basis.nsd)

@@ -100,10 +100,12 @@ class _PoissonCommon:
 
     def _setup_poisson(self, **kwargs):
         self.loss_type = kwargs.get("loss_type", "energy")
-        # resmin formulation: "et" (element-tensor two-matmul path, default
-        # for deg-1 — fastest, see core/fem.py:element_action) or "gp"
-        # (general Gauss-point pipeline, any degree).
-        default_form = "et" if self.basis.deg == 1 else "gp"
+        # resmin formulation: "et" (element-tensor stencil path, default for
+        # deg-1 2D — fastest, see core/fem.py:element_action) or "gp"
+        # (general Gauss-point pipeline, any degree; faster for 3D where the
+        # trilinear stencil expansion is too wide).
+        default_form = "et" if (self.basis.deg == 1
+                                and self.nsd == 2) else "gp"
         self.residual_formulation = kwargs.get("residual_formulation",
                                                default_form)
         if self.residual_formulation not in ("et", "gp"):
