@@ -23,11 +23,31 @@ from .trainer import Trainer
 __all__ = ["prolong_field", "coarse_to_fine"]
 
 
-def prolong_field(field, fine_shape, method: str = "bilinear"):
-    """Prolongate a nodal field ([..., ny, nx] or 3D) to a finer grid."""
+def prolong_field(field, fine_shape, method: str = "linear"):
+    """Prolongate a NODAL field ([..., ny, nx] or 3D) to a finer grid with
+    node-ALIGNED (align-corners) interpolation: coarse node 0 maps to fine
+    node 0 and coarse node -1 to fine node -1, so a 2x refinement injects
+    coarse values exactly at even fine nodes.
+
+    (jax.image.resize is pixel-CENTER aligned — on nodal endpoint-inclusive
+    grids that is a half-cell shift, which turned a ~1% prolonged solution
+    into a ~10% initial guess.)"""
+    from jax.scipy.ndimage import map_coordinates
+
     field = jnp.asarray(field)
-    out_shape = field.shape[: field.ndim - len(fine_shape)] + tuple(fine_shape)
-    return jax.image.resize(field, out_shape, method)
+    nsd = len(fine_shape)
+    coarse_shape = field.shape[-nsd:]
+    axes = [jnp.linspace(0.0, c - 1.0, f)
+            for c, f in zip(coarse_shape, fine_shape)]
+    coords = jnp.meshgrid(*axes, indexing="ij")
+    order = 1 if method in ("linear", "bilinear", "trilinear") else 0
+
+    def interp_one(x):
+        return map_coordinates(x, list(coords), order=order)
+
+    flat = field.reshape((-1,) + tuple(coarse_shape))
+    out = jax.vmap(interp_one)(flat)
+    return out.reshape(field.shape[:-nsd] + tuple(fine_shape))
 
 
 def coarse_to_fine(module_factory: Callable[[int], tuple],

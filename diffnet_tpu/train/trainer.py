@@ -330,7 +330,18 @@ class Trainer:
                 "batch_size with drop_last=True?) — lower batch_size or use "
                 "NumpyLoader(..., drop_last=False)")
         lr = self.learning_rate or getattr(module, "learning_rate", 3e-4)
-        opt, is_lbfgs = _make_optimizer(self.optimizer_spec, lr,
+        spec = self.optimizer_spec
+        per_obj_specs = None
+        if isinstance(spec, (list, tuple)):
+            # one optimizer PER OBJECTIVE (the reference's
+            # configure_optimizers returning a list, e1_ns_ldc_resmin.py:
+            # 335-339 / 16_topopt.py:226-231); round-robin only
+            if not self.round_robin:
+                raise ValueError("a list of optimizers requires "
+                                 "round_robin=True")
+            per_obj_specs = list(spec)
+            spec = per_obj_specs[0]
+        opt, is_lbfgs = _make_optimizer(spec, lr,
                                         self.lbfgs_max_iter,
                                         self.lr_milestones, self.lr_gamma,
                                         steps_per_epoch=n_batches or 1)
@@ -355,21 +366,32 @@ class Trainer:
             # (objective_param_mask), freeze the other params' updates.
             n_obj = module.num_objectives
             mask_hook = getattr(module, "objective_param_mask", None)
-            opts = []
+            opts, obj_is_lbfgs = [], []
             for i in range(n_obj):
+                if per_obj_specs is not None:
+                    if len(per_obj_specs) != n_obj:
+                        raise ValueError(
+                            f"{len(per_obj_specs)} optimizers given for "
+                            f"{n_obj} objectives")
+                    opt_i, lb_i = _make_optimizer(
+                        per_obj_specs[i], lr, self.lbfgs_max_iter,
+                        self.lr_milestones, self.lr_gamma,
+                        steps_per_epoch=n_batches or 1)
+                else:
+                    opt_i, lb_i = opt, is_lbfgs
                 mask = mask_hook(i, params) if mask_hook is not None else None
-                if mask is not None and not is_lbfgs:
+                if mask is not None and not lb_i:
                     labels = jax.tree.map(
                         lambda m: "train" if m else "freeze", mask)
-                    opts.append(optax.multi_transform(
-                        {"train": opt, "freeze": optax.set_to_zero()},
-                        labels))
-                else:
-                    opts.append(opt)
+                    opt_i = optax.multi_transform(
+                        {"train": opt_i, "freeze": optax.set_to_zero()},
+                        labels)
+                opts.append(opt_i)
+                obj_is_lbfgs.append(lb_i)
             state = TrainState(params, tuple(o.init(params) for o in opts),
                                jnp.zeros((), jnp.int32))
             step_fns = [self._build_objective_step(module, opts[i], i,
-                                                   is_lbfgs)
+                                                   obj_is_lbfgs[i])
                         for i in range(n_obj)]
             rr_counter = [0]
             # last loss PER OBJECTIVE, kept ON DEVICE — no per-step host
