@@ -95,9 +95,9 @@ def main():
 
     @jax.jit
     def residual_et(u, nu, f_gp):
-        Ku = fem.element_action(u, nu, A, basis, (n, n))
-        Nf = fem.galerkin_project(f_gp, basis, "N", (n, n))
-        return jnp.where(bc > 0.5, 0.0, Ku - Nf)
+        R = fem.element_action(u, nu, A, basis, (n, n),
+                               gp_terms=[(-f_gp, "N")])
+        return jnp.where(bc > 0.5, 0.0, R)
 
     # reference-algorithm port: one conv per gauss point per quantity
     # (12 convs for dx/dy/N here), then the same projection/assembly
@@ -188,6 +188,13 @@ def main():
     print(json.dumps(result), flush=True)
     result.update(_run_phase("--l2-only", timeout=600))
     print(json.dumps(result), flush=True)
+    # beyond-baseline perf context: the hardest residual (NS full VMS, 13 GP
+    # quantities + stabilization + 3 assemblies) and the bf16-field variant
+    # of the primary metric (accuracy impact: docs/MIXED_PRECISION.md)
+    result.update(_run_phase("--ns-only", timeout=420))
+    print(json.dumps(result), flush=True)
+    result.update(_run_phase("--bf16-only", timeout=420))
+    print(json.dumps(result), flush=True)
 
 
 def _run_phase(flag, timeout):
@@ -263,6 +270,55 @@ def _final_l2():
     return {"final_rel_l2": rel, "poisson64_final_rel_l2": rel}
 
 
+def _ns_throughput():
+    """Full-VMS Navier-Stokes 3-residual assembly throughput at 512^2
+    (the 13-GP-quantity hot path, reference e1_ns_ldc_resmin.py:217-306).
+    Chained timing: each iteration feeds the residuals back into the
+    fields so the relay cannot serve results from its cache."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffnet_tpu.data.flow import NSLDCDataset
+    from diffnet_tpu.pde.flow import NavierStokes
+
+    n = int(os.environ.get("DIFFNET_BENCH_SIZE", "512"))
+    bs = 8
+    ds = NSLDCDataset(domain_sizes=(n, n), Re=100)
+    m = NavierStokes(None, ds, domain_size=n, batch_size=bs, Re=100)
+    inputs, forcing = ds[0]
+    inputs = jnp.asarray(np.broadcast_to(
+        inputs[None], (bs,) + inputs.shape), jnp.float32)
+    forcing = jnp.asarray(np.broadcast_to(
+        forcing[None], (bs,) + forcing.shape), jnp.float32)
+    rng = np.random.default_rng(0)
+    uvp = jnp.asarray(rng.random((3, bs, n, n)), jnp.float32) * 0.1
+
+    @jax.jit
+    def step(uvp, inputs, forcing):
+        R1, R2, R3 = m.calc_residuals(
+            (uvp[0], uvp[1], uvp[2]), inputs, forcing)
+        return uvp + 1e-6 * jnp.stack([R1, R2, R3])
+
+    t = _timeit_chained(step, uvp, inputs, forcing, iters=15, warmup=3)
+    eps = float(f"{bs * (n - 1) * (n - 1) / t:.4g}")
+    return {f"ns_vms_residual_elem_per_sec_{n}sq": eps}
+
+
+def _bf16_primary():
+    """The primary element-residual metric with bfloat16 fields (halves the
+    HBM traffic; accuracy study in docs/MIXED_PRECISION.md)."""
+    os.environ["DIFFNET_BENCH_DTYPE"] = "bfloat16"
+    os.environ["DIFFNET_BENCH_PRIMARY_ONLY"] = "1"
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main()
+    d = json.loads(buf.getvalue().strip().splitlines()[-1])
+    return {"elem_per_sec_bf16": d["value"]}
+
+
 def _guarded():
     """Run the measurement in a subprocess with a hard timeout: this image's
     TPU relay can wedge (all device ops hang indefinitely — see CLAUDE.md);
@@ -306,6 +362,10 @@ def _guarded():
 if __name__ == "__main__":
     if "--steps-only" in sys.argv:
         print(json.dumps(_steps_per_sec()), flush=True)
+    elif "--ns-only" in sys.argv:
+        print(json.dumps(_ns_throughput()), flush=True)
+    elif "--bf16-only" in sys.argv:
+        print(json.dumps(_bf16_primary()), flush=True)
     elif "--l2-only" in sys.argv:
         # accuracy metric — pin CPU BEFORE any jax computation so it
         # completes even when the TPU relay is wedged (sitecustomize

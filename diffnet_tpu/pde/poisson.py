@@ -72,12 +72,11 @@ def poisson_resmin_residual_et(module, u, nu, f_gp, bc_mask):
     Mathematically identical to :func:`poisson_resmin_residual` up to
     round-off; the production default for deg-1 grids."""
     from ..core import fem as _fem
-    Ku = _fem.element_action(u, nu, module._poisson_et_tensor, module.basis,
-                             module.node_shape)
-    # for static MMS forcing f_gp is a jit constant, so this projection is
-    # constant-folded by XLA; for dynamic f it is one small matmul + scatter
-    Nf = _fem.galerkin_project(f_gp, module.basis, "N", module.node_shape)
-    R = Ku - Nf
+    # the forcing projection folds into the same stencil pass (gp_terms):
+    # a few extra madds per element instead of a separate projection
+    # matmul + scatter round-trip
+    R = _fem.element_action(u, nu, module._poisson_et_tensor, module.basis,
+                            module.node_shape, gp_terms=[(-f_gp, "N")])
     return jnp.where(bc_mask > 0.5, jnp.zeros_like(R), R)
 
 
