@@ -14,7 +14,6 @@ import os
 import numpy as np
 
 from ..core.geometry import sample_ellipse_cloud
-from .gen_input import generate_diffusivity_tensor
 
 __all__ = ["ImageIMBack", "ImageIMBackObject", "ImageIMBackNeumann",
            "KLSumStochastic", "PointClouds", "SyntheticPointClouds"]
@@ -101,11 +100,11 @@ class KLSumStochastic:
         self.coeffs = coeffs
         self.domain_size = n = domain_size
         self.kl_terms = kl_terms
-        fields = [
-            generate_diffusivity_tensor(c, output_size=n,
-                                        n_sum_nu=kl_terms).squeeze()
-            for c in coeffs
-        ]
+        # one native OpenMP pass over the whole coefficient table (the
+        # reference tqdm-loops generate_diffusivity_tensor per sample at
+        # load time, klsum.py:24-31); numpy fallback inside
+        from ..utils.native import kl_diffusivity_batch
+        fields = kl_diffusivity_batch(coeffs, n, n_sum_nu=kl_terms)
         bc1 = np.zeros((n, n)); bc1[:, 0] = 1
         bc2 = np.zeros((n, n)); bc2[:, -1] = 1
         self.dataset = np.stack(

@@ -1,0 +1,100 @@
+"""Native host-preprocessing library (csrc/diffnet_host.cpp via ctypes):
+equality against the pure-Python implementations it accelerates.
+
+Reference anchors: KL synthesis DiffNet/gen_input_calc.py:74-181 (consumed
+per-sample in a load-time loop by DiffNet/datasets/parametric/klsum.py:24-31);
+winding numbers examples/poisson/parametric/IBN_2D.py:89-104.
+"""
+
+import numpy as np
+import pytest
+
+from diffnet_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built (no g++?)")
+
+
+def _cloud(B=2, P=300, seed=0, nsd=2):
+    rng = np.random.default_rng(seed)
+    th = rng.uniform(0, 2 * np.pi, (B, P))
+    if nsd == 2:
+        pts = 0.5 + 0.3 * np.stack([np.cos(th), np.sin(th)], -1)
+        nrm = np.stack([np.cos(th), np.sin(th)], -1)
+        areas = np.full((B, P), 2 * np.pi * 0.3 / P)
+    else:
+        ph = np.arccos(rng.uniform(-1, 1, (B, P)))
+        d = np.stack([np.sin(ph) * np.cos(th), np.sin(ph) * np.sin(th),
+                      np.cos(ph)], -1)
+        pts = 0.5 + 0.3 * d
+        nrm = d
+        areas = np.full((B, P), 4 * np.pi * 0.3**2 / P)
+    return (pts.astype(np.float32), nrm.astype(np.float32),
+            areas.astype(np.float32))
+
+
+def test_kl_diffusivity_matches_python():
+    from diffnet_tpu.data.gen_input import generate_diffusivity_tensor
+
+    rng = np.random.default_rng(1)
+    coeffs = rng.uniform(-0.5, 0.5, (8, 6))
+    out = native.kl_diffusivity_batch(coeffs, 33)
+    ref = np.stack([generate_diffusivity_tensor(c, output_size=33).squeeze(0)
+                    for c in coeffs])
+    np.testing.assert_allclose(out, ref.astype(np.float32), atol=2e-6)
+
+
+def test_kl_diffusivity_pads_and_truncates_like_reference():
+    from diffnet_tpu.data.gen_input import generate_diffusivity_tensor
+
+    c4 = np.array([[0.3, -0.2, 0.1, 0.4]])          # 4 coeffs -> pad to 6
+    out = native.kl_diffusivity_batch(c4, 17, n_sum_nu=3)  # + truncate to 3
+    ref = generate_diffusivity_tensor(c4[0], output_size=17, n_sum_nu=3)
+    np.testing.assert_allclose(out[0], ref[0].astype(np.float32), atol=2e-6)
+
+
+def test_winding_2d_matches_device_path():
+    from diffnet_tpu.core.geometry import winding_number_2d
+
+    pts, nrm, areas, = _cloud()
+    rng = np.random.default_rng(2)
+    q = rng.random((257, 2)).astype(np.float32)
+    host = native.winding_number_2d_host(pts, nrm, areas, q)
+    dev = np.asarray(winding_number_2d(pts, nrm, areas, q))
+    np.testing.assert_allclose(host, dev, atol=2e-4)
+    # interior queries of a closed circle wind ~1
+    inside = native.winding_number_2d_host(
+        pts, nrm, areas, np.array([[0.5, 0.5]], np.float32))
+    assert np.all(np.abs(inside - 1.0) < 0.05)
+
+
+def test_winding_3d_matches_device_path():
+    from diffnet_tpu.core.geometry import winding_number_3d
+
+    pts, nrm, areas = _cloud(nsd=3, P=600)
+    rng = np.random.default_rng(3)
+    q = rng.random((129, 3)).astype(np.float32)
+    host = native.winding_number_3d_host(pts, nrm, areas, q)
+    dev = np.asarray(winding_number_3d(pts, nrm, areas, q))
+    np.testing.assert_allclose(host, dev, atol=2e-3)
+
+
+def test_numpy_fallback_matches_native(monkeypatch):
+    pts, nrm, areas = _cloud(B=1, P=100)
+    q = np.random.default_rng(4).random((64, 2)).astype(np.float32)
+    nat = native.winding_number_2d_host(pts, nrm, areas, q)
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    fb = native.winding_number_2d_host(pts, nrm, areas, q)
+    np.testing.assert_allclose(nat, fb, atol=1e-5)
+
+
+def test_klsum_stochastic_uses_batch_path():
+    from diffnet_tpu.data.parametric import KLSumStochastic
+
+    coeffs = np.random.default_rng(5).uniform(-0.5, 0.5, (4, 6))
+    ds = KLSumStochastic(coeffs, domain_size=17)
+    assert len(ds) == 4
+    inputs, forcing = ds[0]
+    assert inputs.shape == (17, 17, 3) and forcing.shape == (17, 17, 1)
+    assert np.all(inputs[..., 0] > 0)  # exp() positive diffusivity
