@@ -193,7 +193,11 @@ def main():
     # of the primary metric (accuracy impact: docs/MIXED_PRECISION.md)
     result.update(_run_phase("--ns-only", timeout=420))
     print(json.dumps(result), flush=True)
+    result.update(_run_phase("--p3d-only", timeout=420))
+    print(json.dumps(result), flush=True)
     result.update(_run_phase("--bf16-only", timeout=420))
+    print(json.dumps(result), flush=True)
+    result.update(_run_phase("--serve-only", timeout=420))
     print(json.dumps(result), flush=True)
 
 
@@ -299,9 +303,105 @@ def _ns_throughput():
             (uvp[0], uvp[1], uvp[2]), inputs, forcing)
         return uvp + 1e-6 * jnp.stack([R1, R2, R3])
 
-    t = _timeit_chained(step, uvp, inputs, forcing, iters=15, warmup=3)
+    # chained timing + a host SCALAR readback closing the chain: on this
+    # image's relay, block_until_ready alone can return before the chain
+    # actually executed (measured 6.9e10 "elem/s", 40x the physical bound);
+    # pulling a value that depends on every iteration forces real execution
+    import time as _time
+
+    r = uvp
+    for _ in range(3):
+        r = step(r, inputs, forcing)
+    _ = float(jnp.sum(r))
+    iters = 15
+    t0 = _time.perf_counter()
+    r2 = r
+    for _ in range(iters):
+        r2 = step(r2, inputs, forcing)
+    _ = float(jnp.sum(r2))
+    t = (_time.perf_counter() - t0) / iters
     eps = float(f"{bs * (n - 1) * (n - 1) / t:.4g}")
     return {f"ns_vms_residual_elem_per_sec_{n}sq": eps}
+
+
+def _serve_latency():
+    """Serving-path latency: export the flagship IBN forward (AE on the
+    chi mask, params baked in) to StableHLO, reload it model-code-free,
+    and time single-sample inference (the production serving story;
+    reference counterpart is torch.load of a pickled module,
+    query.py:207)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffnet_tpu.models.networks import AE
+    from diffnet_tpu.utils.export import (export_forward, load_exported,
+                                          save_exported)
+
+    n = 32
+    net = AE(out_channels=1, dims=8, n_downsample=2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, n, n, 1)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    with tempfile.NamedTemporaryFile(suffix=".stablehlo") as f:
+        save_exported(export_forward(net, params, x), f.name)
+        served = load_exported(f.name)
+    call = jax.jit(served.call)
+    r = call(x)
+    jax.block_until_ready(r)
+    iters = 50
+    # chain the output straight back in (shapes match): one dispatch per
+    # iteration, fresh input each call. On this image the number is
+    # dominated by the relay round-trip (~2-12 ms), not the model.
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = call(r)
+    _ = float(jnp.sum(r))
+    t = (time.perf_counter() - t0) / iters
+    return {"serve_latency_ms_ibn32_bs1": float(f"{t * 1e3:.4g}")}
+
+
+def _p3d_throughput():
+    """3D Poisson residual throughput at 64^3 (the reference's voxel-solve
+    scale, IBN/poisson-3d/*; trilinear deg-1, 2x2x2 GP — the GP pipeline,
+    which is the production 3D path). Chained + scalar readback."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffnet_tpu.core import fem
+    from diffnet_tpu.core.quadrature import make_basis
+
+    n, bs = 64, 4
+    h = 1.0 / (n - 1)
+    basis = make_basis(3, 1, h=(h, h, h))
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random((bs, n, n, n)), jnp.float32)
+    nu = jnp.asarray(rng.random((bs, n, n, n)), jnp.float32)
+    f_gp = jnp.asarray(rng.random((bs, n - 1, n - 1, n - 1, 8)), jnp.float32)
+    bc = jnp.zeros((n, n, n)).at[0].set(1.0).at[-1].set(1.0)
+
+    @jax.jit
+    def residual(u, nu, f_gp):
+        gp = fem.gp_eval(u, basis, ("dx", "dy", "dz"))
+        nu_gp = fem.gp_eval(nu, basis, ("N",))["N"]
+        R = fem.galerkin_project_multi(
+            [(nu_gp * gp["dx"], "dx"), (nu_gp * gp["dy"], "dy"),
+             (nu_gp * gp["dz"], "dz"), (-f_gp, "N")], basis, (n, n, n))
+        return jnp.where(bc > 0.5, 0.0, R) * 1e-6 + u
+
+    r = u
+    for _ in range(3):
+        r = residual(r, nu, f_gp)
+    _ = float(jnp.sum(r))
+    iters = 15
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = residual(r, nu, f_gp)
+    _ = float(jnp.sum(r))
+    t = (time.perf_counter() - t0) / iters
+    return {"poisson3d_elem_per_sec_64cubed":
+            float(f"{bs * (n - 1) ** 3 / t:.4g}")}
 
 
 def _bf16_primary():
@@ -364,6 +464,10 @@ if __name__ == "__main__":
         print(json.dumps(_steps_per_sec()), flush=True)
     elif "--ns-only" in sys.argv:
         print(json.dumps(_ns_throughput()), flush=True)
+    elif "--p3d-only" in sys.argv:
+        print(json.dumps(_p3d_throughput()), flush=True)
+    elif "--serve-only" in sys.argv:
+        print(json.dumps(_serve_latency()), flush=True)
     elif "--bf16-only" in sys.argv:
         print(json.dumps(_bf16_primary()), flush=True)
     elif "--l2-only" in sys.argv:

@@ -37,6 +37,7 @@ class AdvDiff2D(FEM2DModule):
         self.f_gp = (np.asarray(forcing(self.xgp, self.ygp), np.float32)
                      if forcing is not None else None)
         self.bc1_value = kwargs.get("bc1_value", 1.0)
+        self.exact_solution = kwargs.get("exact_solution", None)
 
     def residual(self, u, f_gp, bc1, bc2):
         ax, ay = float(self.adv[0]), float(self.adv[1])

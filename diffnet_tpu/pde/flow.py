@@ -61,8 +61,12 @@ class StokesNSBase(FEM2DModule):
         # momentum rows (~visco/h^2) dwarf the continuity rows (~1/h), and
         # first/quasi-second-order optimizers stall at a high loss floor.
         # 'auto' scales momentum residuals by h^2/visco when visco > h
-        # (verified to cut the Re=1 LDC midline error 4-5x); a number scales
-        # them explicitly; 1.0 disables.
+        # (verified to cut the Re=1 LDC midline error 4-5x on the
+        # corner-singular cavity); a number scales them explicitly; 1.0
+        # disables. For SMOOTH problems the row-equalizing h/visco
+        # (momentum ~visco/h^2 vs continuity ~1/h) converges O(h^2)
+        # monotonically where h^2/visco over-damps at fine grids — see
+        # scripts/convergence_study.py::solve_stokes (measured both).
         rs = kwargs.get("momentum_scale", "auto")
         if rs == "auto":
             rs = self.h**2 / self.viscosity if self.viscosity > self.h else 1.0

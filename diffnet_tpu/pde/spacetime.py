@@ -106,6 +106,12 @@ class AllenCahnIceMelt(FEM2DModule):
         self.u0 = np.asarray(
             kwargs.get("u0", getattr(dataset, "u0", np.zeros(self.node_shape))),
             np.float32)
+        # optional manufactured source (beyond the reference's e18, which has
+        # none): residual gains a -∫ N f term, enabling MMS rate studies
+        forcing = kwargs.get("forcing", None)
+        self.f_gp = (np.asarray(forcing(self.xgp, self.ygp), np.float32)
+                     if forcing is not None else None)
+        self.exact_solution = kwargs.get("exact_solution", None)
 
     def calcG(self, u_gp):
         """Allen-Cahn reaction (e18:77-78)."""
@@ -117,6 +123,8 @@ class AllenCahnIceMelt(FEM2DModule):
         D, Cn = self.ac_D, self.ac_Cn
         gp = self.gp_all(u, ("N", "dx", "dy"))
         G_gp = self.calcG(gp["N"])
+        if self.f_gp is not None:
+            G_gp = G_gp - jnp.asarray(self.f_gp, u.dtype) / D
         R = self.assemble_multi([
             (gp["dy"] + D * G_gp, "N"),
             (D * Cn**2 * gp["dx"], "dx"),
@@ -146,6 +154,12 @@ class BurgersSpaceTime(FEM2DModule):
         kwargs.setdefault("fem_basis_deg", 2)
         super().__init__(network, dataset, **kwargs)
         self.viscosity = float(viscosity)
+        # optional manufactured source (res -> u_t + u u_x - f) for MMS
+        # rate studies; the reference workload (01_2d_space_time.py) has none
+        forcing = kwargs.get("forcing", None)
+        self.f_gp = (np.asarray(forcing(self.xgp, self.ygp), np.float32)
+                     if forcing is not None else None)
+        self.exact_solution = kwargs.get("exact_solution", None)
 
     def loss(self, u, inputs_tensor, forcing_tensor):
         u = _squeeze_field(u)
@@ -159,5 +173,7 @@ class BurgersSpaceTime(FEM2DModule):
         res = gp["dy"] + gp["N"] * gp["dx"]
         if self.viscosity:
             res = res - self.viscosity * gp["d2x"]
+        if self.f_gp is not None:
+            res = res - jnp.asarray(self.f_gp, u.dtype)
         w = jnp.asarray(self.gpw, u.dtype)
         return jnp.mean(jnp.sum(w * res**2, -1))

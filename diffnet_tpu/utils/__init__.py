@@ -8,3 +8,8 @@ from .viz import (  # noqa: F401
 )
 from .xyzna import read_xyzna, write_xyzna  # noqa: F401
 from .export import export_forward, load_exported, save_exported  # noqa: F401
+from .native import (  # noqa: F401
+    kl_diffusivity_batch,
+    winding_number_2d_host,
+    winding_number_3d_host,
+)
