@@ -631,3 +631,43 @@ def test_round_robin_optimizer_list():
     with pytest.raises(ValueError):
         Trainer(optimizer=["adam", "adam"]).fit(TwoObj(),
                                                 NumpyLoader(ds, batch_size=1))
+
+
+def test_steps_per_call_scan_matches_single_steps():
+    """steps_per_call=K (K batches per jitted lax.scan dispatch) is
+    mathematically identical to K single adam steps, including a remainder
+    chunk (6 batches with K=4 -> chunks of 4 and 2)."""
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+    from diffnet_tpu.models.field import DirectField
+    from diffnet_tpu.pde.poisson import Poisson2D
+
+    n = 17
+    rng = np.random.default_rng(0)
+    inputs = np.stack([
+        np.stack([np.ones((n, n)),
+                  np.zeros((n, n)),
+                  _boundary(n)], -1)
+        for _ in range(6)]).astype(np.float32)
+    forcing = rng.random((6, n, n, 1)).astype(np.float32)
+    ds = InMemoryDataset(inputs, forcing)
+
+    def solve(k):
+        m = Poisson2D(DirectField((n, n), init=np.zeros((n, n))),
+                      domain_size=n, batch_size=2, loss_type="energy")
+        tr = Trainer(max_epochs=3, optimizer="adam", learning_rate=1e-2,
+                     steps_per_call=k, seed=0)
+        st = tr.fit(m, NumpyLoader(ds, batch_size=2, shuffle=False))
+        return np.asarray(st.params["field"])
+
+    u1 = solve(1)
+    u4 = solve(4)  # 3 steps/epoch -> chunks of 3 (remainder path) each epoch
+    np.testing.assert_allclose(u1, u4, atol=1e-6)
+    u2 = solve(2)
+    np.testing.assert_allclose(u1, u2, atol=1e-6)
+
+
+def _boundary(n):
+    b = np.zeros((n, n))
+    b[[0, -1], :] = 1.0
+    b[:, [0, -1]] = 1.0
+    return b
