@@ -184,13 +184,14 @@ def main():
     # keeps one wedged phase from eating the others (VERDICT r1 item 2).
     # The L2 phase is an ACCURACY metric, so it runs CPU-pinned and
     # completes even with the relay down.
-    # phase timeouts sum to ~2100s < the outer 2400s guard (a phase that
-    # would push past it gets cut by the guard, salvaging the cumulative
-    # JSON printed so far); steps gets the largest share — it is a
-    # BASELINE.json metric and pays 1-2 IBN compiles on the relay
+    # phase timeouts sum to 2220s; with the primary's ~120-180s that is
+    # right at the outer 2400s guard, so in the all-phases-slow worst case
+    # the guard cuts the tail — every phase prints the cumulative JSON, so
+    # whatever completed is salvaged. steps gets the largest share — it is
+    # a BASELINE.json metric and pays 1-2 IBN compiles on the relay.
     result.update(_run_phase("--steps-only", timeout=600))
     print(json.dumps(result), flush=True)
-    result.update(_run_phase("--l2-only", timeout=480))
+    result.update(_run_phase("--l2-only", timeout=420))
     print(json.dumps(result), flush=True)
     # beyond-baseline perf context: the hardest residual (NS full VMS, 13 GP
     # quantities + stabilization + 3 assemblies) and the bf16-field variant
@@ -199,9 +200,9 @@ def main():
     print(json.dumps(result), flush=True)
     result.update(_run_phase("--p3d-only", timeout=300))
     print(json.dumps(result), flush=True)
-    result.update(_run_phase("--bf16-only", timeout=300))
+    result.update(_run_phase("--bf16-only", timeout=240))
     print(json.dumps(result), flush=True)
-    result.update(_run_phase("--serve-only", timeout=300))
+    result.update(_run_phase("--serve-only", timeout=240))
     print(json.dumps(result), flush=True)
 
 

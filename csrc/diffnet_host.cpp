@@ -38,6 +38,7 @@ void dn_kl_diffusivity_2d(const double* omega,   // [n_terms]
                           const double* coeffs,  // [B, n_terms]
                           int64_t B, int64_t n, int64_t n_terms,
                           float* out /* [B, n, n] */) {
+  if (n_terms > 16) return;  // row buffer bound below; callers pass <= 6
   std::vector<double> fx((size_t)n_terms * n);
   for (int64_t t = 0; t < n_terms; ++t) {
     const double w = omega[t];

@@ -440,30 +440,34 @@ class Trainer:
                 self._last_obj_loss[i] = loss
                 return state, loss
         else:
-            state = TrainState(params, opt.init(params),
-                               jnp.zeros((), jnp.int32))
             # cache the jitted step across fit() calls on the same module
             # and optimizer config: rebuilding it would create a fresh
             # closure every fit -> a jit cache MISS -> a full recompile per
-            # warm-restart (fit(..., params=...) loops recompiled N times)
+            # warm-restart (fit(..., params=...) loops recompiled N times).
+            # The fingerprint holds the module AND its attribute values:
+            # reassigning any module attribute between fits (m.f_gp = ...,
+            # m.u_bc = ...) changes an id and misses the cache, so mutated
+            # constants are re-traced instead of silently reusing the old
+            # jit-baked ones; holding the value refs keeps the ids unique.
+            attrs = tuple(sorted(vars(module).items(), key=lambda kv: kv[0]))
+            fp = (module, tuple((k, id(v)) for k, v in attrs),
+                  tuple(v for _, v in attrs))
             ck = (str(self.optimizer_spec), lr, self.lbfgs_max_iter,
                   str(self.lr_milestones), self.lr_gamma, n_batches,
                   self.steps_per_call)
             cached = getattr(self, "_step_cache", None)
-            # the held module reference makes the identity check sound
-            # (a plain id() key could collide after garbage collection)
             if (cached is not None and cached[0] == ck
-                    and cached[1] is module):
+                    and cached[1][0] is module and cached[1][1] == fp[1]):
                 _, _, opt, step_fn, scan_fn = cached
-                state = TrainState(params, opt.init(params),
-                                   jnp.zeros((), jnp.int32))
             else:
                 step_fn = self._build_step(module, opt, is_lbfgs)
                 scan_fn = None
                 if (self.steps_per_call > 1 and not is_lbfgs
                         and not self.fast_dev_run):
                     scan_fn = self._build_scan_step(module, opt)
-                self._step_cache = (ck, module, opt, step_fn, scan_fn)
+                self._step_cache = (ck, fp, opt, step_fn, scan_fn)
+            state = TrainState(params, opt.init(params),
+                               jnp.zeros((), jnp.int32))
         if self.round_robin:
             scan_fn = None  # round-robin alternates objectives per batch
         if resume_from:
@@ -491,8 +495,16 @@ class Trainer:
                     losses.append(lvec)
                     return state
 
+                def shapes(b):
+                    return jax.tree.map(jnp.shape, b)
+
                 for batch in dataloader:
-                    pending.append(jax.tree.map(jnp.asarray, batch))
+                    batch = jax.tree.map(jnp.asarray, batch)
+                    # a ragged batch (e.g. drop_last=False remainder) can't
+                    # stack with the pending full batches — flush first
+                    if pending and shapes(batch) != shapes(pending[0]):
+                        state = flush(state)
+                    pending.append(batch)
                     if len(pending) == self.steps_per_call:
                         state = flush(state)
                 if pending:  # remainder chunk (one extra compile, cached)

@@ -32,13 +32,26 @@ _tried = False
 
 def _build() -> bool:
     os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
+    # compile to a private temp path and rename into place (atomic on the
+    # same filesystem): a concurrent first-use in another process must
+    # never CDLL a half-written .so
+    tmp = f"{_LIB_PATH}.tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _LIB_PATH]
+           _SRC, "-o", tmp]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
-        return r.returncode == 0
+        if r.returncode != 0:
+            return False
+        os.replace(tmp, _LIB_PATH)
+        return True
     except (OSError, subprocess.TimeoutExpired):
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def _load():
@@ -79,7 +92,7 @@ def kl_diffusivity_batch(coeffs, n: int, eta: float = 0.5,
     applied per row (coeffs padded/truncated to 6 terms, terms beyond
     `n_sum_nu` zeroed); native OpenMP path when available, numpy fallback."""
     from ..data.gen_input import (calculate_omega_based_on_eta,
-                                  generate_diffusivity_tensor)
+                                  construct_KL_sum_2D, grid2D)
 
     coeffs = np.atleast_2d(np.asarray(coeffs, np.float64))
     B = coeffs.shape[0]
@@ -88,9 +101,11 @@ def kl_diffusivity_batch(coeffs, n: int, eta: float = 0.5,
     c6[:, :k] = coeffs[:, :k]
     lib = _load()
     if lib is None:
+        # same math, numpy — including eta (generate_diffusivity_tensor
+        # hardcodes eta=0.5, so it cannot serve as the fallback here)
+        xv, yv = grid2D(n, n)
         return np.stack([
-            generate_diffusivity_tensor(c, output_size=n,
-                                        n_sum_nu=n_sum_nu).squeeze(0)
+            np.exp(construct_KL_sum_2D(xv, yv, c, eta_x=eta, eta_y=eta))
             for c in c6]).astype(np.float32)
     omega = np.ascontiguousarray(
         calculate_omega_based_on_eta(float(eta))[:6], np.float64)

@@ -302,6 +302,9 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--quick", action="store_true",
                    help="fewer grids (CI-speed)")
+    p.add_argument("--tpu", action="store_true",
+                   help="run on the default accelerator instead of the "
+                        "CPU pin (consumed at import time, above)")
     p.add_argument("--out", default="CONVERGENCE.md")
     args = p.parse_args()
 

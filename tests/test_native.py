@@ -53,6 +53,21 @@ def test_kl_diffusivity_pads_and_truncates_like_reference():
     np.testing.assert_allclose(out[0], ref[0].astype(np.float32), atol=2e-6)
 
 
+def test_kl_eta_respected_by_both_paths(monkeypatch):
+    """Non-default eta must produce the same fields on the native and
+    numpy paths (the fallback cannot use generate_diffusivity_tensor,
+    which hardcodes eta=0.5)."""
+    coeffs = np.random.default_rng(7).uniform(-0.5, 0.5, (3, 6))
+    nat = native.kl_diffusivity_batch(coeffs, 17, eta=0.25)
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    fb = native.kl_diffusivity_batch(coeffs, 17, eta=0.25)
+    np.testing.assert_allclose(nat, fb, atol=2e-6)
+    # and eta actually changes the field
+    nat5 = native.kl_diffusivity_batch(coeffs, 17, eta=0.5)
+    assert np.abs(np.asarray(fb) - nat5).max() > 1e-3
+
+
 def test_winding_2d_matches_device_path():
     from diffnet_tpu.core.geometry import winding_number_2d
 

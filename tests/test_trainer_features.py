@@ -665,6 +665,51 @@ def test_steps_per_call_scan_matches_single_steps():
     u2 = solve(2)
     np.testing.assert_allclose(u1, u2, atol=1e-6)
 
+    # ragged final batch (drop_last=False: batches of 4 and 2) must flush
+    # the pending full batches instead of stacking mismatched shapes
+    def solve_ragged(k, bs=4):
+        m = Poisson2D(DirectField((n, n), init=np.zeros((n, n))),
+                      domain_size=n, batch_size=bs, loss_type="energy")
+        tr = Trainer(max_epochs=2, optimizer="adam", learning_rate=1e-2,
+                     steps_per_call=k, seed=0)
+        st = tr.fit(m, NumpyLoader(ds, batch_size=bs, shuffle=False,
+                                   drop_last=False))
+        return np.asarray(st.params["field"])
+
+    np.testing.assert_allclose(solve_ragged(1), solve_ragged(2), atol=1e-6)
+
+
+def test_step_cache_invalidated_on_module_mutation():
+    """Reassigning a module attribute between fit() calls on the same
+    Trainer must rebuild the jitted step (the old closure has the stale
+    value baked in as a jit constant)."""
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+    from diffnet_tpu.models.field import DirectField
+    from diffnet_tpu.pde.advection import AdvDiff2D
+
+    n = 9
+    inputs = np.stack([np.ones((n, n)), np.zeros((n, n)),
+                       _boundary(n)], -1).astype(np.float32)[None]
+    forcing = np.zeros((n, n, 1), np.float32)[None]
+    ds = InMemoryDataset(inputs, forcing)
+
+    def run(two_trainers):
+        m = AdvDiff2D(DirectField((n, n), init=np.zeros((n, n))),
+                      adv=(1.0, 0.0), diffusivity=1e-2, domain_size=n,
+                      batch_size=1, bc1_value=0.0,
+                      forcing=lambda x, y: np.ones_like(x))
+        tr = Trainer(max_epochs=5, optimizer="adam", learning_rate=1e-2,
+                     seed=0)
+        st = tr.fit(m, NumpyLoader(ds, 1, shuffle=False))
+        m.f_gp = 5.0 * np.asarray(m.f_gp)   # mutate a jit-baked constant
+        tr2 = Trainer(max_epochs=5, optimizer="adam", learning_rate=1e-2,
+                      seed=0) if two_trainers else tr
+        st = tr2.fit(m, NumpyLoader(ds, 1, shuffle=False),
+                     params=st.params)
+        return np.asarray(st.params["field"])
+
+    np.testing.assert_allclose(run(False), run(True), atol=1e-6)
+
 
 def _boundary(n):
     b = np.zeros((n, n))
