@@ -139,4 +139,8 @@ class FlowPastObjectEnsemble(_FlowBase):
         self.n_samples = len(self.instances)
 
     def __getitem__(self, index):
-        return self.instances[index % len(self.instances)][0]
+        if not -len(self.instances) <= index < len(self.instances):
+            # raising (not wrapping) keeps the legacy __getitem__ iteration
+            # protocol terminating and surfaces caller indexing bugs
+            raise IndexError(index)
+        return self.instances[index][0]

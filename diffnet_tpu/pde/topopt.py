@@ -128,6 +128,14 @@ class TopOpt2D(FEM2DModule):
         if isinstance(params, dict) and {"u", "rho"} <= set(params):
             tgt = "u" if idx == 0 else "rho"
             return {k: k == tgt for k in params}
+        if self.compliance_form == "variational":
+            # without a {u, rho} split, objective 1 (-pde_loss) would act
+            # on the SAME params as objective 0 (+pde_loss): a zero-sum
+            # tug-of-war that silently makes no progress
+            raise ValueError(
+                "compliance_form='variational' needs params scopable into "
+                "{'u', 'rho'} (e.g. DirectField-style per-field params); "
+                "use compliance_form='reference' for a shared network")
         return None
 
     def loss(self, pred, inputs_tensor, forcing_tensor):
@@ -141,16 +149,25 @@ class TopOpt2D(FEM2DModule):
     def vf_projection_shift(self, rho, iters=50):
         """Exact minimizer of objective 2 along the uniform direction:
         bisect a scalar shift s so mean(project_density(rho + s)) hits the
-        target volume fraction."""
-        lo, hi = -14.0, 14.0
-        for _ in range(iters):
-            mid = 0.5 * (lo + hi)
-            if float(jnp.mean(self.project_density(rho + mid))) > \
-                    self.target_vf:
-                hi = mid
-            else:
-                lo = mid
-        return rho + 0.5 * (lo + hi)
+        target volume fraction. One jitted fori_loop — the eager version
+        paid `iters` dispatches + host syncs per outer iteration (~minutes
+        of pure round-trip latency over this image's relay)."""
+        fn = getattr(self, "_vf_shift_jit", None)
+        if fn is None:
+            def bisect(rho, iters):
+                def body(_, bounds):
+                    lo, hi = bounds
+                    mid = 0.5 * (lo + hi)
+                    above = jnp.mean(
+                        self.project_density(rho + mid)) > self.target_vf
+                    return (jnp.where(above, lo, mid),
+                            jnp.where(above, mid, hi))
+
+                lo, hi = jax.lax.fori_loop(0, iters, body, (-14.0, 14.0))
+                return rho + 0.5 * (lo + hi)
+
+            fn = self._vf_shift_jit = jax.jit(bisect, static_argnums=1)
+        return fn(rho, iters)
 
     def optimize(self, inputs, forcing, n_outer=120, lr=1.0, cg_iters=200):
         """Alternating tri-objective topology optimization producing an

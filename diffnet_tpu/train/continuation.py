@@ -40,7 +40,15 @@ def prolong_field(field, fine_shape, method: str = "linear"):
     axes = [jnp.linspace(0.0, c - 1.0, f)
             for c, f in zip(coarse_shape, fine_shape)]
     coords = jnp.meshgrid(*axes, indexing="ij")
-    order = 1 if method in ("linear", "bilinear", "trilinear") else 0
+    if method in ("linear", "bilinear", "trilinear"):
+        order = 1
+    elif method == "nearest":
+        order = 0
+    else:
+        # map_coordinates supports order 0/1 only — fail loudly rather
+        # than silently degrading e.g. 'cubic' (or a typo) to nearest
+        raise ValueError(f"unsupported prolongation method {method!r}; "
+                         "use 'linear' (any dim) or 'nearest'")
 
     def interp_one(x):
         return map_coordinates(x, list(coords), order=order)

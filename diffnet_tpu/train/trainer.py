@@ -398,7 +398,7 @@ class Trainer:
             # (objective_param_mask), freeze the other params' updates.
             n_obj = module.num_objectives
             mask_hook = getattr(module, "objective_param_mask", None)
-            opts, obj_is_lbfgs = [], []
+            opts, obj_is_lbfgs, obj_masks = [], [], []
             for i in range(n_obj):
                 if per_obj_specs is not None:
                     if len(per_obj_specs) != n_obj:
@@ -418,12 +418,15 @@ class Trainer:
                     opt_i = optax.multi_transform(
                         {"train": opt_i, "freeze": optax.set_to_zero()},
                         labels)
+                    mask = None  # consumed by the transform
                 opts.append(opt_i)
                 obj_is_lbfgs.append(lb_i)
+                obj_masks.append(mask)
             state = TrainState(params, tuple(o.init(params) for o in opts),
                                jnp.zeros((), jnp.int32))
             step_fns = [self._build_objective_step(module, opts[i], i,
-                                                   obj_is_lbfgs[i])
+                                                   obj_is_lbfgs[i],
+                                                   mask=obj_masks[i])
                         for i in range(n_obj)]
             rr_counter = [0]
             # last loss PER OBJECTIVE, kept ON DEVICE — no per-step host
@@ -472,6 +475,11 @@ class Trainer:
             scan_fn = None  # round-robin alternates objectives per batch
         if resume_from:
             state = load_state(state, resume_from)
+            if self.round_robin:
+                # continue the objective rotation where the checkpoint
+                # stopped (each batch advances one objective step), keeping
+                # the exact-resume contract when n_batches % n_obj != 0
+                rr_counter[0] = int(state.step)
 
         if self.profile_dir:
             import jax.profiler as _prof
@@ -571,14 +579,37 @@ class Trainer:
         return state
 
     def _build_objective_step(self, module, opt, obj_idx: int,
-                              is_lbfgs: bool = False):
+                              is_lbfgs: bool = False, mask=None):
         """Per-objective update (reference optimizer_idx round-robin).
         ``state.opt_state`` is a TUPLE with one slot per objective; each step
         reads/writes only its own slot (reference: separate Adam per field,
-        e1_ns_ldc_resmin.py:335-339)."""
+        e1_ns_ldc_resmin.py:335-339).
+
+        `mask` (lbfgs objectives only — adam/sgd scoping is handled by
+        multi_transform upstream): flat {top_level_key: bool} dict from
+        objective_param_mask. Frozen subtrees are stop_gradient'ed inside
+        the loss (zero gradient -> zero lbfgs direction components) AND
+        pinned after the update, so a scoped lbfgs objective cannot move
+        the other objectives' params."""
+        if mask is not None and (not isinstance(mask, dict)):
+            raise ValueError("objective_param_mask must return a flat "
+                             "{top_level_key: bool} dict or None")
+
+        def scope(params):
+            if mask is None:
+                return params
+            return {k: (v if mask[k] else
+                        jax.tree.map(jax.lax.stop_gradient, v))
+                    for k, v in params.items()}
+
+        def pin_frozen(params_new, params_old):
+            if mask is None:
+                return params_new
+            return {k: (params_new[k] if mask[k] else params_old[k])
+                    for k in params_new}
 
         def loss_fn(params, batch):
-            return module.objective_loss(obj_idx, params, batch)
+            return module.objective_loss(obj_idx, scope(params), batch)
 
         def put(opt_states, new_i):
             return tuple(new_i if j == obj_idx else s
@@ -600,7 +631,8 @@ class Trainer:
                 updates, opt_state = opt.update(
                     grads, opt_state, params, value=value, grad=grads,
                     value_fn=f)
-                params = optax.apply_updates(params, updates)
+                params = pin_frozen(optax.apply_updates(params, updates),
+                                    state.params)
 
                 vg = optax.value_and_grad_from_state(f)
 
@@ -610,7 +642,8 @@ class Trainer:
                     updates, opt_state = opt.update(
                         grads, opt_state, params, value=value, grad=grads,
                         value_fn=f)
-                    params = optax.apply_updates(params, updates)
+                    params = pin_frozen(optax.apply_updates(params, updates),
+                                        state.params)
                     return (params, opt_state), value
 
                 (params, opt_state), values = jax.lax.scan(
@@ -621,15 +654,20 @@ class Trainer:
 
             return jax.jit(step)
 
-        def step(state: TrainState, batch):
+        def step(state: TrainState, batch, upd_scale):
             loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
             updates, opt_state = opt.update(grads, state.opt_state[obj_idx],
                                             state.params)
+            # nan_guard backoff, as in _build_step (0.5^n_restores; 1.0
+            # in normal operation)
+            updates = jax.tree.map(lambda u: u * upd_scale, updates)
             params = optax.apply_updates(state.params, updates)
             return TrainState(params, put(state.opt_state, opt_state),
                               state.step + 1), loss
 
-        return jax.jit(step)
+        jitted = jax.jit(step)
+        return lambda state, batch: jitted(
+            state, batch, jnp.float32(0.5 ** self._nan_restores))
 
 
 def save_state_orbax(state: "TrainState", path: str):

@@ -37,7 +37,8 @@ def run_klsum(value, param, args, run_dir):
     from diffnet_tpu.train import Trainer, query_statistical
 
     cfg = {"n_train": args.n_train, "domain_size": args.domain_size,
-           "batch_size": args.batch_size, param: value}
+           "batch_size": args.batch_size, "max_epochs": args.max_epochs,
+           param: value}
     n = int(cfg["domain_size"])
     bs = min(int(cfg["batch_size"]), int(cfg["n_train"]))
     train_ds = KLSumStochastic(
@@ -47,7 +48,7 @@ def run_klsum(value, param, args, run_dir):
         GoodNetwork(in_dim=n, out_dim=n, out_channels=1, filters=8),
         train_ds, domain_size=n, batch_size=bs, loss_type="energy",
         bc1_value=1.0, bc2_value=0.0)
-    tr = Trainer(max_epochs=args.max_epochs, optimizer="adam",
+    tr = Trainer(max_epochs=int(cfg["max_epochs"]), optimizer="adam",
                  learning_rate=3e-4, run_dir=run_dir, checkpoint=True)
     state = tr.fit(module, NumpyLoader(train_ds, bs, shuffle=True))
     query_ds = KLSumStochastic(
@@ -68,7 +69,8 @@ def run_poisson_mms(value, param, args, run_dir):
     from diffnet_tpu.pde import Poisson2D
     from diffnet_tpu.train import Trainer
 
-    cfg = {"domain_size": args.domain_size, param: value}
+    cfg = {"domain_size": args.domain_size,
+           "max_epochs": args.max_epochs, param: value}
     n = int(cfg["domain_size"])
     exact = lambda x, y: np.sin(np.pi * x) * np.sin(np.pi * y)
     forcing = lambda x, y: 2 * np.pi**2 * np.sin(np.pi * x) * np.sin(
@@ -78,7 +80,7 @@ def run_poisson_mms(value, param, args, run_dir):
     m = Poisson2D(DirectField((n, n), init=np.zeros((n, n))), ds,
                   domain_size=n, batch_size=1, loss_type="resmin",
                   exact_solution=exact, forcing=forcing, mms_dirichlet=True)
-    st = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",
+    st = Trainer(max_epochs=int(cfg["max_epochs"]), optimizer="lbfgs",
                  lbfgs_max_iter=10, run_dir=run_dir, checkpoint=True).fit(m)
     u = m.network.apply(st.params)[0]
     eL2, _, uex = m.calc_l2_err(u)
@@ -94,6 +96,11 @@ def _final_loss(run_dir):
 
 
 WORKLOADS = {"klsum": run_klsum, "poisson-mms": run_poisson_mms}
+# config fields each workload actually reads back out of cfg — a swept
+# --param outside this set would silently produce identical runs
+SWEEPABLE = {"klsum": {"n_train", "domain_size", "batch_size",
+                       "max_epochs"},
+             "poisson-mms": {"domain_size", "max_epochs"}}
 
 
 def main():
@@ -115,6 +122,10 @@ def main():
 
     from diffnet_tpu.train import make_run_dir
 
+    if args.param not in SWEEPABLE[args.physics]:
+        p.error(f"--param {args.param!r} is not swept by "
+                f"{args.physics!r}; choose from "
+                f"{sorted(SWEEPABLE[args.physics])}")
     values = [int(v) for v in args.values.split(",")]
     sweep_name = f"sweep-{args.physics}-{args.param}"
     sweep_dir = make_run_dir(args.out_dir, sweep_name)

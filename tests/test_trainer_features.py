@@ -716,3 +716,93 @@ def _boundary(n):
     b[[0, -1], :] = 1.0
     b[:, [0, -1]] = 1.0
     return b
+
+
+def test_round_robin_lbfgs_respects_param_mask():
+    """A scoped lbfgs objective must not move the other objectives' params:
+    objective 1's loss pulls 'a' toward 10 but its mask scopes it to 'b',
+    so 'a' must still converge to objective 0's target 3."""
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+
+    class TwoObj:
+        num_objectives = 2
+        dataset = None
+        batch_size = 1
+        learning_rate = 0.2
+
+        class Net:
+            def init(self, rng, x):
+                return {"a": jnp.ones(()), "b": jnp.ones(())}
+
+            def apply(self, params, x):
+                return params
+
+        network = Net()
+
+        def init_params(self, rng, batch):
+            return self.network.init(rng, None)
+
+        def objective_loss(self, idx, params, batch):
+            if idx == 0:
+                return (params["a"] - 3.0) ** 2
+            return (params["a"] - 10.0) ** 2 + (params["b"] + 2.0) ** 2
+
+        def objective_param_mask(self, idx, params):
+            tgt = "a" if idx == 0 else "b"
+            return {k: k == tgt for k in params}
+
+    ds = InMemoryDataset(np.zeros((2, 1), np.float32),
+                         np.zeros((2, 1), np.float32))
+    tr = Trainer(max_epochs=30, optimizer="lbfgs", lbfgs_max_iter=5,
+                 round_robin=True)
+    st = tr.fit(TwoObj(), NumpyLoader(ds, batch_size=1))
+    assert abs(float(st.params["a"]) - 3.0) < 1e-3, float(st.params["a"])
+    assert abs(float(st.params["b"]) + 2.0) < 1e-3, float(st.params["b"])
+
+
+def test_round_robin_resume_continues_rotation(tmp_path):
+    """resume_from must continue the objective rotation at state.step, not
+    restart at objective 0 (exact-resume contract with n_batches % n_obj
+    != 0)."""
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+
+    seen = []
+
+    class TwoObj:
+        num_objectives = 2
+        dataset = None
+        batch_size = 1
+        learning_rate = 0.1
+
+        class Net:
+            def init(self, rng, x):
+                return {"a": jnp.ones(())}
+
+            def apply(self, params, x):
+                return params
+
+        network = Net()
+
+        def init_params(self, rng, batch):
+            return self.network.init(rng, None)
+
+        def objective_loss(self, idx, params, batch):
+            seen.append(idx)
+            return (params["a"] - idx) ** 2
+
+    # 3 batches, 2 objectives: epoch 0 rotation = 0,1,0
+    ds = InMemoryDataset(np.zeros((3, 1), np.float32),
+                         np.zeros((3, 1), np.float32))
+    run_dir = str(tmp_path)
+    tr = Trainer(max_epochs=1, optimizer="adam", round_robin=True,
+                 run_dir=run_dir, checkpoint=True)
+    tr.fit(TwoObj(), NumpyLoader(ds, batch_size=1, shuffle=False))
+    seen.clear()
+    tr2 = Trainer(max_epochs=1, optimizer="adam", round_robin=True)
+    tr2.fit(TwoObj(), NumpyLoader(ds, batch_size=1, shuffle=False),
+            resume_from=f"{run_dir}/state.ckpt")
+    # resumed run saw 3 steps already -> rotation continues 1,0,1
+    # (objective_loss traces once per objective step fn; the rotation is
+    # observable through which step fn ran first — assert via the traced
+    # order of FIRST compile calls)
+    assert seen[0] == 1, seen
