@@ -148,3 +148,33 @@ def test_spatial_sharding_3d():
     R_shard = jax.jit(f)(jax.device_put(u, sh), jax.device_put(nu, sh))
     np.testing.assert_allclose(np.asarray(R_single), np.asarray(R_shard),
                                atol=1e-5)
+
+
+def test_ns_vms_spatial_sharded_matches():
+    """The full 13-quantity NS VMS 3-residual assembly under (data, space)
+    sharding equals the single-device result — GSPMD inserts the halos for
+    every derivative order including the second-derivative laplacians."""
+    from diffnet_tpu.data.flow import NSLDCDataset
+    from diffnet_tpu.pde.flow import NavierStokes
+
+    n = 32
+    mesh = make_mesh(data=2, space=4)
+    ds = NSLDCDataset(domain_sizes=(n, n), Re=100)
+    m = NavierStokes(None, ds, domain_size=n, batch_size=2, Re=100)
+    rng = np.random.default_rng(5)
+    inputs = jnp.asarray(np.broadcast_to(ds[0][0][None],
+                                         (2,) + ds[0][0].shape), jnp.float32)
+    u, v, p = (jnp.asarray(rng.random((2, n, n)), jnp.float32) * 0.1
+               for _ in range(3))
+
+    def f(u, v, p, inputs):
+        R1, R2, R3 = m.calc_residuals((u, v, p), inputs, None)
+        return jnp.stack([R1, R2, R3])
+
+    R_single = jax.jit(f)(u, v, p, inputs)
+    fld = NamedSharding(mesh, P("data", "space", None))
+    inp = NamedSharding(mesh, P("data", "space", None, None))
+    R_shard = jax.jit(f)(jax.device_put(u, fld), jax.device_put(v, fld),
+                         jax.device_put(p, fld), jax.device_put(inputs, inp))
+    np.testing.assert_allclose(np.asarray(R_single), np.asarray(R_shard),
+                               atol=2e-5)
