@@ -162,6 +162,34 @@ class _PoissonCommon:
         u = self.apply_dirichlet(u, bc1, self.bc1_value)
         return self.apply_dirichlet(u, bc2, self.bc2_value)
 
+    def residual_for_field(self, u, inputs_tensor, forcing_tensor):
+        """Assembled Galerkin residual R(u) for a nodal field: Dirichlet
+        data substituted into u, then the weak-form assembly, then rows
+        zeroed on ALL substituted nodes (bc1 ∪ bc2 — the well-posed
+        Dirichlet treatment). Affine in u, so it is the matrix-free
+        operator for `train.linear.solve_linear` / `module_linear_solve`;
+        shares the element-tensor / GP assembly with the training loss."""
+        u = _squeeze_field(u)
+        nu = inputs_tensor[..., 0]
+        bc1 = inputs_tensor[..., 1]
+        bc2 = inputs_tensor[..., 2]
+        if self.u_bc is not None:
+            u_bc = jnp.asarray(self.u_bc, u.dtype)
+            u = jnp.where(bc2 > 0.5, jnp.broadcast_to(u_bc, u.shape), u)
+            bc_mask = bc2
+        else:
+            u = self.apply_dirichlet(u, bc1, self.bc1_value)
+            u = self.apply_dirichlet(u, bc2, self.bc2_value)
+            bc_mask = jnp.maximum(bc1, bc2)
+        if getattr(self, "f_gp", None) is not None:
+            f_gp = jnp.asarray(self.f_gp, u.dtype)
+        else:
+            f_gp = self.gauss_pt_evaluation(_squeeze_field(forcing_tensor))
+        if self.residual_formulation == "et":
+            return poisson_resmin_residual_et(self, u, nu, f_gp, bc_mask)
+        return poisson_resmin_residual(
+            self, u, self.gauss_pt_evaluation(nu), f_gp, bc_mask)
+
     def loss(self, u, inputs_tensor, forcing_tensor):
         u = _squeeze_field(u)
         nu = inputs_tensor[..., 0]

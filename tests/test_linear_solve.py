@@ -1,0 +1,80 @@
+"""Matrix-free Krylov solves over the module residual operators
+(train/linear.py): the framework's conventional-solver path."""
+
+import numpy as np
+import pytest
+
+from diffnet_tpu.data.single_instances import (Rectangle,
+                                               RectangleManufactured)
+from diffnet_tpu.models import DirectField
+from diffnet_tpu.pde import Poisson2D
+from diffnet_tpu.train import module_linear_solve, solve_linear
+
+
+def _mms_module(n):
+    exact = lambda x, y: np.sin(np.pi * x) * np.sin(np.pi * y)
+    forcing = lambda x, y: 2 * np.pi**2 * np.sin(np.pi * x) * np.sin(
+        np.pi * y)
+    ds = RectangleManufactured(domain_size=n)
+    ds.n_samples = 1
+    return Poisson2D(DirectField((n, n)), ds, domain_size=n, batch_size=1,
+                     loss_type="resmin", exact_solution=exact,
+                     forcing=forcing, mms_dirichlet=True), ds
+
+
+def test_cg_poisson_mms_matches_exact():
+    """CG on the assembled residual reaches the discretization-limited L2
+    error directly (the LBFGS path needs ~100s of epochs for the same)."""
+    n = 65
+    m, ds = _mms_module(n)
+    u, info = module_linear_solve(m, tol=1e-10)
+    eL2, _, uex = m.calc_l2_err(u)
+    assert float(eL2 / uex) < 3e-4, float(eL2 / uex)
+
+
+def test_cg_source_sink_problem():
+    """Non-MMS Dirichlet problem (source row u=1, sink row u=0): the CG
+    solution honors both boundary values and stays bounded between them."""
+    n = 33
+    ds = Rectangle(domain_size=n)
+    ds.n_samples = 1
+    m = Poisson2D(DirectField((n, n)), ds, domain_size=n, batch_size=1,
+                  loss_type="resmin")
+    u, info = module_linear_solve(m, tol=1e-10)
+    np.testing.assert_allclose(u[0, :], 1.0, atol=1e-5)   # bc1 row
+    np.testing.assert_allclose(u[-1, :], 0.0, atol=1e-5)  # bc2 row
+    assert u.min() > -1e-3 and u.max() < 1.0 + 1e-3
+    # harmonic in y: interior midline close to linear profile
+    mid = u[:, n // 2]
+    lin = np.linspace(1.0, 0.0, n)
+    assert np.abs(mid - lin).max() < 0.05
+
+
+def test_solve_linear_rejects_nonlinear_residual():
+    import jax.numpy as jnp
+
+    def nonlinear(u):
+        return u**2 - 1.0
+
+    with pytest.raises(ValueError, match="not affine"):
+        solve_linear(nonlinear, (8, 8))
+
+
+def test_bicgstab_variable_diffusivity():
+    """Variable-nu diffusion: cg and bicgstab both drive the assembled
+    residual to the float32 floor (solution agreement is only bounded by
+    cond(A)*eps, so the residual is the right acceptance criterion)."""
+    import jax.numpy as jnp
+
+    n = 33
+    m, ds = _mms_module(n)
+    inputs, forcing = ds[0]
+    inputs = inputs.copy()
+    rng = np.random.default_rng(0)
+    inputs[..., 0] = 1.0 + 0.5 * rng.random((n, n)).astype(np.float32)
+    jin = jnp.asarray(inputs)[None]
+    for method in ("cg", "bicgstab"):
+        u, _ = module_linear_solve(m, inputs, forcing, method=method,
+                                   tol=1e-10)
+        R = m.residual_for_field(jnp.asarray(u)[None], jin, None)
+        assert float(jnp.linalg.norm(R)) < 5e-4, method  # f32 Krylov floor
