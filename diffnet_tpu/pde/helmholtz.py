@@ -31,6 +31,18 @@ class Helmholtz2D(FEM2DModule):
             (-self.khh**2 * gp["N"] - f_gp, "N")])
         return jnp.where(bc2 > 0.5, jnp.zeros_like(R), R)
 
+    def residual_for_field(self, u, inputs_tensor, forcing_tensor):
+        """Affine residual map for train.linear (indefinite operator for
+        khh*h > O(1): use method='bicgstab' or 'gmres')."""
+        u = _squeeze_field(u)
+        bc2 = inputs_tensor[..., 2]
+        u = self.apply_dirichlet(u, bc2, 0.0)
+        if self.f_gp is not None:
+            f_gp = jnp.asarray(self.f_gp, u.dtype)
+        else:
+            f_gp = self.gauss_pt_evaluation(_squeeze_field(forcing_tensor))
+        return self.residual(u, f_gp, bc2)
+
     def loss(self, u, inputs_tensor, forcing_tensor):
         u = _squeeze_field(u)
         bc2 = inputs_tensor[..., 2]
