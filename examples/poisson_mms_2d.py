@@ -22,7 +22,10 @@ def main():
     p.add_argument("--loss-type", default="resmin",
                    choices=["energy", "resmin", "strong"])
     p.add_argument("--optimizer", default="lbfgs",
-                   choices=["adam", "sgd", "lbfgs"])
+                   choices=["adam", "sgd", "lbfgs", "cg"],
+                   help="cg = direct matrix-free Krylov solve of the "
+                        "linear system (train.linear; resmin/deg-any), "
+                        "no training loop")
     p.add_argument("--fem-basis-deg", type=int, default=1)
     p.add_argument("--max-epochs", type=int, default=80)
     p.add_argument("--learning-rate", type=float, default=3e-4)
@@ -51,14 +54,19 @@ def main():
                        forcing=forcing, mms_dirichlet=True,
                        learning_rate=args.learning_rate)
     run_dir = make_run_dir(args.out_dir, f"poisson-mms-{args.loss_type}")
-    trainer = Trainer(max_epochs=args.max_epochs, optimizer=args.optimizer,
-                      learning_rate=args.learning_rate, run_dir=run_dir,
-                      checkpoint=True, fast_dev_run=args.fast_dev_run)
-    state = trainer.fit(module)
+    if args.optimizer == "cg":
+        from diffnet_tpu.train import module_linear_solve
 
-    u = np.asarray(module.network.apply(state.params)[0])
-    eL2, uL2, uexL2 = module.calc_l2_err(module.network.apply(state.params)[0],
-                                         verbose=True)
+        u, _ = module_linear_solve(module, tol=1e-10)
+        u = np.asarray(u)
+    else:
+        trainer = Trainer(max_epochs=args.max_epochs,
+                          optimizer=args.optimizer,
+                          learning_rate=args.learning_rate, run_dir=run_dir,
+                          checkpoint=True, fast_dev_run=args.fast_dev_run)
+        state = trainer.fit(module)
+        u = np.asarray(module.network.apply(state.params)[0])
+    eL2, uL2, uexL2 = module.calc_l2_err(u, verbose=True)
     x = np.linspace(0, 1, n)
     xx, yy = np.meshgrid(x, x)
     plot_contours(os.path.join(run_dir, "contours.png"),
