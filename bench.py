@@ -187,10 +187,15 @@ def main():
     # phase timeouts sum to 2220s; with the primary's ~120-180s that is
     # right at the outer 2400s guard, so in the all-phases-slow worst case
     # the guard cuts the tail — every phase prints the cumulative JSON, so
-    # whatever completed is salvaged. steps gets the largest share — it is
-    # a BASELINE.json metric and pays 1-2 IBN compiles on the relay.
-    result.update(_run_phase("--steps-only", timeout=600))
-    print(json.dumps(result), flush=True)
+    # whatever completed is salvaged.
+    #
+    # ORDER MATTERS: when the relay is in its fragile state, the IBN steps
+    # phase doesn't just hang ITSELF — the hang degrades the relay for
+    # subsequent processes for several minutes (measured 2026-08-17: with
+    # steps first, ns/p3d device-blocked right after; with the relay
+    # rested, the same phases pass standalone). So the wedge-prone steps
+    # phase runs LAST, after every other metric is banked. The accuracy
+    # (l2) phase is CPU-pinned and immune either way.
     result.update(_run_phase("--l2-only", timeout=420))
     print(json.dumps(result), flush=True)
     # beyond-baseline perf context: the hardest residual (NS full VMS, 13 GP
@@ -203,6 +208,8 @@ def main():
     result.update(_run_phase("--bf16-only", timeout=240))
     print(json.dumps(result), flush=True)
     result.update(_run_phase("--serve-only", timeout=240))
+    print(json.dumps(result), flush=True)
+    result.update(_run_phase("--steps-only", timeout=600))
     print(json.dumps(result), flush=True)
 
 
