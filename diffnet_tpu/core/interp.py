@@ -50,6 +50,14 @@ def grid_interp_2d(u: jax.Array, points: jax.Array, h: tuple[float, float],
     hx, hy = h
     ny, nx = u.shape[-2:]
     nbf = deg + 1
+    # same contract as the pde modules (base.py): without it the strided
+    # gather silently drops the trailing rows/cols and points near the far
+    # boundary extrapolate from the wrong element
+    for name, n_ in (("x", nx), ("y", ny)):
+        if (n_ - 1) % deg:
+            raise ValueError(
+                f"grid axis {name} has {n_} nodes, incompatible with "
+                f"deg={deg}: need (n-1) % deg == 0")
     nelx = (nx - 1) // deg
     nely = (ny - 1) // deg
 

@@ -142,8 +142,14 @@ class _FEMMixin:
             self.nelemZ = int((self.domain_sizeZ - 1) / deg)
             self.hz = self.domain_lengthZ / self.nelemZ
             h.append(self.hz)
-        self.nelem = int((self.domain_size - 1) / deg)  # backward compat (X)
-        self.h = self.domain_length / self.nelem        # backward compat (X)
+        # scalar aliases = the X axis ACTUALS: when the grid is configured
+        # via the plural domain_sizes/domain_lengths kwargs, the singular
+        # domain_size/domain_length keep their defaults (64/1.0), and
+        # deriving h from them silently mis-scaled every h-based
+        # stabilization parameter (SUPG tau, PSPG, momentum_scale) for
+        # non-default plural configs (e.g. the 4x1 flow channel)
+        self.nelem = self.nelemX
+        self.h = self.hx
 
         self.basis = make_basis(self.nsd, deg, h=tuple(h),
                                 ngp_1d=kwargs.get("ngp_1d"))

@@ -33,7 +33,7 @@ class IBNPoisson2D(FEM2DModule):
 
     def __init__(self, network=None, dataset=None, source_from="winding",
                  winding_threshold=0.5, neumann=False,
-                 ibn_loss_type="energy", **kwargs):
+                 ibn_loss_type="energy", network_input="chi", **kwargs):
         super().__init__(network, dataset, **kwargs)
         self.source_from = source_from
         self.winding_threshold = winding_threshold
@@ -44,7 +44,7 @@ class IBNPoisson2D(FEM2DModule):
         self.ibn_loss_type = ibn_loss_type
         # 'chi' (default: net consumes the occupancy grid) or 'cloud'
         # (net consumes the raw point cloud, e.g. DGCNN2D / ImmDiff)
-        self.network_input = kwargs.get("network_input", "chi")
+        self.network_input = network_input
 
     # -- forward ---------------------------------------------------------
     def forward(self, params, batch):
@@ -83,6 +83,21 @@ class IBNPoisson2D(FEM2DModule):
             return self.network.init(rng, chi)
         return super().init_params(rng, sample_batch)
 
+    def apply_bcs(self, u, inputs_tensor):
+        """Immersed Dirichlet substitution — the same masking loss()
+        applies, exposed for query/viz/L2 tooling (train/query.py,
+        utils/viz.py call module.apply_bcs on predictions; the 3D sibling
+        always had this override)."""
+        if u.ndim == inputs_tensor.ndim:
+            u = u[..., 0]
+        if self.neumann:
+            u = self.apply_dirichlet(u, inputs_tensor[..., 2], 1.0)
+            if inputs_tensor.shape[-1] > 3:
+                u = self.apply_dirichlet(u, inputs_tensor[..., 3], 0.0)
+            return u
+        u = self.apply_dirichlet(u, inputs_tensor[..., 1], 1.0)
+        return self.apply_dirichlet(u, inputs_tensor[..., 2], 0.0)
+
     # -- loss ------------------------------------------------------------
     def loss(self, u, inputs_tensor, forcing_tensor):
         if u.ndim == inputs_tensor.ndim:
@@ -94,24 +109,26 @@ class IBNPoisson2D(FEM2DModule):
             else forcing_tensor
 
         if self.neumann:
-            # natural zero-flux at the immersed boundary: nu := 0 inside
+            # natural zero-flux at the immersed boundary: nu := 0 inside;
+            # the Dirichlet sets are bc2 (=1.0) and bc3 (=0.0) — bc1 is
+            # the object interior, NOT constrained
             nu = jnp.where(bc1 > 0.5, jnp.zeros_like(nu), nu)
-            u = self.apply_dirichlet(u, bc2, 1.0)
+            dirichlet = bc2
             if inputs_tensor.shape[-1] > 3:
-                u = self.apply_dirichlet(u, inputs_tensor[..., 3], 0.0)
+                dirichlet = jnp.maximum(bc2, inputs_tensor[..., 3])
         else:
-            u = self.apply_dirichlet(u, bc1, 1.0)
-            u = self.apply_dirichlet(u, bc2, 0.0)
+            dirichlet = jnp.maximum(bc1, bc2)
+        u = self.apply_bcs(u, inputs_tensor)
 
         if self.ibn_loss_type == "resmin":
-            gp = self.gp_all(u, ("dx", "dy"))
-            nu_gp = self.gauss_pt_evaluation(nu)
-            f_gp = self.gauss_pt_evaluation(f)
-            R = self.assemble_multi([
-                (nu_gp * gp["dx"], "dx"), (nu_gp * gp["dy"], "dy"),
-                (-f_gp, "N")])
-            R = jnp.where(bc1 > 0.5, jnp.zeros_like(R), R)
-            R = jnp.where(bc2 > 0.5, jnp.zeros_like(R), R)
+            # one canonical residual implementation (pde/poisson.py);
+            # rows zeroed exactly on the CONSTRAINED node set: with
+            # neumann=True the object-interior (bc1) equations stay live —
+            # they are what determines u inside under nu = 0
+            from .poisson import poisson_resmin_residual
+            R = poisson_resmin_residual(
+                self, u, self.gauss_pt_evaluation(nu),
+                self.gauss_pt_evaluation(f), dirichlet)
             return jnp.sum(R**2)
         # reference IBN uses gpw-only weighting (IBN_2D.py:129-130)
         w = jnp.asarray(self.gpw, u.dtype)
@@ -133,14 +150,9 @@ class IBNPoisson3D(FEM3DModule):
         return self.apply_dirichlet(u, inputs_tensor[..., 2], 0.0)
 
     def loss(self, u, inputs_tensor, forcing_tensor):
-        if u.ndim == inputs_tensor.ndim:
-            u = u[..., 0]
+        u = self.apply_bcs(u, inputs_tensor)
         nu = inputs_tensor[..., 0]
-        bc1 = inputs_tensor[..., 1]
-        bc2 = inputs_tensor[..., 2]
         f = forcing_tensor[..., 0] if forcing_tensor.ndim == u.ndim + 1 \
             else forcing_tensor
-        u = self.apply_dirichlet(u, bc1, 1.0)
-        u = self.apply_dirichlet(u, bc2, 0.0)
         w = jnp.asarray(self.gpw, u.dtype)
         return poisson_energy_loss(self, u, nu, f, w)

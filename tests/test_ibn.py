@@ -146,3 +146,74 @@ def test_viz_loss_and_histograms(tmp_path):
     h = point_histograms(all_u, [(1, 1), (2, 3)])
     p2 = plot_point_histograms(str(run / "hist.png"), h)
     assert os.path.exists(p1) and os.path.exists(p2)
+
+
+def test_ibn2d_apply_bcs_substitutes_dirichlet():
+    """apply_bcs (used by query/viz tooling) applies the same immersed
+    masking loss() enforces — both Dirichlet and Neumann variants."""
+    n = 8
+    m = IBNPoisson2D(None, source_from="inputs", domain_size=n, batch_size=1)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random((1, n, n)), jnp.float32)
+    inputs = np.zeros((1, n, n, 3), np.float32)
+    inputs[..., 0] = 1.0
+    inputs[0, 2:4, 2:4, 1] = 1.0     # source chi
+    inputs[0, 0, :, 2] = 1.0         # sink
+    ub = m.apply_bcs(u, jnp.asarray(inputs))
+    assert np.allclose(np.asarray(ub)[0, 2:4, 2:4], 1.0)
+    assert np.allclose(np.asarray(ub)[0, 0, :], 0.0)
+
+    mn = IBNPoisson2D(None, source_from="inputs", neumann=True,
+                      domain_size=n, batch_size=1)
+    inp4 = np.zeros((1, n, n, 4), np.float32)
+    inp4[..., 0] = 1.0
+    inp4[0, 3:5, 3:5, 1] = 1.0       # object interior (NOT constrained)
+    inp4[0, :, 0, 2] = 1.0           # bc2 -> 1.0
+    inp4[0, :, -1, 3] = 1.0          # bc3 -> 0.0
+    ub = np.asarray(mn.apply_bcs(u, jnp.asarray(inp4)))
+    assert np.allclose(ub[0, :, 0], 1.0)
+    assert np.allclose(ub[0, :, -1], 0.0)
+    # interior of the object keeps the raw field (Neumann: not Dirichlet)
+    assert np.allclose(ub[0, 3:5, 3:5], np.asarray(u)[0, 3:5, 3:5])
+
+
+def test_ibn2d_neumann_resmin_interior_rows_live():
+    """neumann=True + resmin: the object-interior (bc1) equations must stay
+    in the residual — they determine u inside under nu=0 — while the
+    Dirichlet rows (bc2/bc3) are zeroed."""
+    n = 9
+    m = IBNPoisson2D(None, source_from="inputs", neumann=True,
+                     ibn_loss_type="resmin", domain_size=n, batch_size=1)
+    inp = np.zeros((1, n, n, 4), np.float32)
+    inp[..., 0] = 1.0
+    inp[0, 3:6, 3:6, 1] = 1.0
+    inp[0, :, 0, 2] = 1.0
+    inp[0, :, -1, 3] = 1.0
+    forcing = np.ones((1, n, n, 1), np.float32)
+    inputs = jnp.asarray(inp)
+    f = jnp.asarray(forcing)
+
+    g = jax.grad(lambda u: m.loss(u, inputs, f))(
+        jnp.asarray(np.random.default_rng(1).random((1, n, n)), jnp.float32))
+    g = np.asarray(g)
+    # the natural-BC equation at an object-BOUNDARY node (chi=1 but its
+    # support has nu!=0 elements) must be live — the old code zeroed every
+    # bc1 row, deleting exactly these equations. (A fully-interior node's
+    # row is u-independent — nu=0 on its whole support — so its gradient
+    # is legitimately zero.)
+    assert np.abs(g[0, 3, 4]) > 0
+    assert np.allclose(g[0, :, 0], 0.0)    # bc2 Dirichlet row dead
+    assert np.allclose(g[0, :, -1], 0.0)   # bc3 Dirichlet row dead
+
+
+def test_h_follows_plural_domain_kwargs():
+    """h-derived stabilization parameters must use the ACTUAL X spacing
+    when the grid is configured via domain_sizes/domain_lengths (the
+    singular kwargs keep their defaults and used to win silently)."""
+    from diffnet_tpu.pde.flow import NavierStokes
+
+    m = NavierStokes(None, None, domain_lengths=(4.0, 1.0),
+                     domain_sizes=(129, 33), batch_size=1, Re=100)
+    hx = 4.0 / 128
+    assert np.isclose(m.h, hx)
+    assert np.isclose(m.pspg_param, hx**2 * 100 / 12.0)
