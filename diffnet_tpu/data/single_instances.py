@@ -224,7 +224,11 @@ class RectangleManufacturedStokes(SingleInstanceDataset):
 
 
 class RectangleIM(SingleInstanceDataset):
-    """Immersed rectangle solved *within* the object (rectangles.py:366-393)."""
+    """Immersed rectangle solved *within* the object (rectangles.py:366-393).
+
+    Reference-parity quirk kept deliberately: the sink row sits at
+    y0+h — ONE ROW PAST the object (domain=0 there) while the source is
+    on the object's first row (rectangles.py:382)."""
 
     n_samples = 200
 
@@ -254,7 +258,11 @@ class RectangleIMBack(SingleInstanceDataset):
 
 
 class CircleIMBack(SingleInstanceDataset):
-    """Immersed circle via analytic SDF sign (circles.py:8-41)."""
+    """Immersed circle via analytic SDF sign (circles.py:8-41).
+
+    Reference-parity quirk kept deliberately: pixel coordinates are
+    ``linspace(0,1,n)*n`` spanning [0, n] (circles.py:17-18), so the
+    circle params are scaled by n/(n-1) relative to true pixel indices."""
 
     def __init__(self, domain_size=64):
         n = domain_size
@@ -271,7 +279,11 @@ class CircleIMBack(SingleInstanceDataset):
 
 class LShaped(SingleInstanceDataset):
     """L-shaped domain immersed within object; forcing = 10*chi
-    (Lshaped.py:8-42)."""
+    (Lshaped.py:8-42).
+
+    Reference-parity quirk kept deliberately: the far-edge sink indices
+    are one past the object extent (Lshaped.py:22-27), same off-by-one
+    family as RectangleIM."""
 
     n_samples = 200
 
@@ -305,7 +317,11 @@ def _load_binary_image(filename):
 
 class ImageIMBack(SingleInstanceDataset):
     """Binary image -> immersed object chi; solve outside object, u=1 inside
-    (images.py:9-48)."""
+    (images.py:9-48).
+
+    Reference-parity quirk kept deliberately: ``domain_size`` is accepted
+    but unused — masks come out at native image resolution (the
+    reference's resize is commented out, images.py:18)."""
 
     def __init__(self, filename, domain_size=64):
         img = _load_binary_image(filename)

@@ -9,4 +9,5 @@ from .networks import (  # noqa: F401
     ResNetED,
     UNet,
     UNet3D,
+    UNetRes,
 )

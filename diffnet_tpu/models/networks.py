@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["UNet", "UNet3D", "MultiOutUNet", "AE", "VAE", "GoodNetwork",
-           "ImplicitConv", "ResNetED", "LocalConv2d"]
+__all__ = ["UNet", "UNetRes", "UNet3D", "MultiOutUNet", "AE", "VAE",
+           "GoodNetwork", "ImplicitConv", "ResNetED", "LocalConv2d"]
 
 
 def _norm():
@@ -312,7 +312,7 @@ class _GatedResBlock(nn.Module):
         hidden = 2 * self.features if self.gated else self.features
         h = nn.Conv(hidden, (3, 3), padding="SAME",
                     kernel_dilation=(self.dilation,) * 2)(x)
-        h = nn.GroupNorm(num_groups=min(8, hidden))(h)
+        h = nn.GroupNorm(num_groups=math.gcd(8, hidden))(h)
         h = nn.relu(h)
         if self.dropout:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
@@ -322,7 +322,7 @@ class _GatedResBlock(nn.Module):
             a, b = jnp.split(h, 2, axis=-1)
             h = a * nn.sigmoid(b)
         out = x + h
-        return nn.relu(nn.GroupNorm(num_groups=min(8, self.features))(out))
+        return nn.relu(nn.GroupNorm(num_groups=math.gcd(8, self.features))(out))
 
 
 class UNetRes(nn.Module):
@@ -353,7 +353,8 @@ class UNetRes(nn.Module):
         for k in range(self.n_dilated):
             h = nn.Conv(self.hidden[-1], (3, 3), padding="SAME",
                         kernel_dilation=(2**(k + 1),) * 2)(h)
-            h = nn.relu(nn.GroupNorm(num_groups=8)(h))
+            h = nn.relu(nn.GroupNorm(
+                num_groups=math.gcd(8, self.hidden[-1]))(h))
             d_sum = d_sum + h
         h = d_sum
         for i in reversed(range(len(self.hidden) - 1)):
@@ -446,8 +447,17 @@ class LocalConv2d(nn.Module):
         kh, kw = self.kernel
         H, W = self.in_size
         Ho, Wo = H - kh + 1, W - kw + 1
+        if x.shape[1:3] != (H, W):
+            raise ValueError(
+                f"LocalConv2d(in_size={(H, W)}) got input {x.shape[1:3]} — "
+                "per-location kernels are sized to in_size")
+        # per-location fan-in is kh*kw*C only: the (Ho, Wo) axes are batch
+        # axes of independent kernels, not fan-in (plain lecun_normal over
+        # the 4D shape shrank init std ~60x at 64^2)
         w = self.param(
-            "kernel", nn.initializers.lecun_normal(),
+            "kernel", nn.initializers.variance_scaling(
+                1.0, "fan_in", "truncated_normal", in_axis=2, out_axis=3,
+                batch_axis=(0, 1)),
             (Ho, Wo, kh * kw * self.in_channels, self.features))
         b = self.param("bias", nn.initializers.zeros, (Ho, Wo, self.features))
         patches = []

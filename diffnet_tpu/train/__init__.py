@@ -1,6 +1,11 @@
 from .continuation import coarse_to_fine, prolong_field  # noqa: F401
 from .linear import module_linear_solve, solve_linear  # noqa: F401
-from .query import calc_mean_stddev, query_batched, query_statistical  # noqa: F401
+from .query import (  # noqa: F401
+    calc_mean_stddev,
+    point_histograms,
+    query_batched,
+    query_statistical,
+)
 from .trainer import (  # noqa: F401
     Callback,
     CSVLogger,

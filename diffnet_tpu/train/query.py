@@ -16,6 +16,7 @@ import numpy as np
 from ..data.loader import NumpyLoader
 
 __all__ = ["query_batched", "query_statistical", "calc_mean_stddev",
+           "point_histograms",
            "save_query_results"]
 
 
@@ -54,10 +55,13 @@ def point_histograms(all_u, points_ij):
 
 
 def query_statistical(module, params, dataset, batch_size=64,
-                      out_dir=None, prefix="q"):
+                      out_dir=None, prefix="q", apply_bcs=True):
     """End-to-end UQ query: inference sweep -> mean/sdev (-> npy files when
-    out_dir given, named like the reference's q_mean/q_sdev)."""
-    all_u = query_batched(module, params, dataset, batch_size)
+    out_dir given, named like the reference's q_mean/q_sdev).
+    ``apply_bcs=False`` gives statistics of the RAW network output (e.g.
+    to inspect BC violation)."""
+    all_u = query_batched(module, params, dataset, batch_size,
+                          apply_bcs=apply_bcs)
     mean, sdev = calc_mean_stddev(all_u)
     if out_dir is not None:
         save_query_results(out_dir, mean, sdev, prefix)

@@ -112,3 +112,38 @@ def test_direct_field_multi():
     p = f.init(None)
     outs = f.apply(p, jnp.ones((4, 8, 8, 1)))
     assert len(outs) == 3 and outs[0].shape == (4, 8, 8)
+
+
+def test_localconv_init_scale_and_shape_guard():
+    """Per-location kernels: init std must reflect fan_in = kh*kw*C (a
+    plain lecun_normal over the 4D shape measured std ~0.005 instead of
+    ~0.33), and a mismatched input size must raise, not silently compute
+    on the top-left window."""
+    import jax
+    import pytest
+
+    from diffnet_tpu.models import LocalConv2d
+
+    m = LocalConv2d(features=4, in_size=(16, 16))
+    x = jnp.ones((1, 16, 16, 1))
+    params = m.init(jax.random.key(0), x)
+    w = params["params"]["kernel"]
+    std = float(jnp.std(w))
+    assert 0.2 < std < 0.45, std     # ~1/sqrt(9) = 0.33
+    assert m.apply(params, x).shape == (1, 14, 14, 4)
+    with pytest.raises(ValueError, match="in_size"):
+        m.apply(params, jnp.ones((1, 32, 32, 1)))
+
+
+def test_unetres_export_and_odd_widths():
+    """UNetRes is importable from diffnet_tpu.models and GroupNorm groups
+    divide any channel width (12 % 8 != 0 used to crash)."""
+    import jax
+
+    from diffnet_tpu.models import UNetRes
+
+    net = UNetRes(out_channels=1, hidden=(4, 12))
+    x = jnp.ones((1, 16, 16, 1))
+    params = net.init(jax.random.key(0), x)
+    out = net.apply(params, x)
+    assert out.shape == (1, 16, 16, 1)
