@@ -165,7 +165,14 @@ class Burg2DXT:
     """Space-time Burgers grid: channels (x, bc1, bc2, bc1_val) with the -10
     non-boundary sentinel; IC cos(4 pi x) at t=0
     (reference 01_2d_space_time.py:30-65, with the IC placed on the t=0 row
-    rather than the reference's x-column quirk)."""
+    rather than the reference's x-column quirk).
+
+    The x grid spans [-1, 1]: construct the module with
+    ``domain_lengths=(2.0, 1.0)`` so derivatives carry the physical
+    scale (the reference example leaves the default unit length, making
+    its u_x twice the physical derivative — a quirk NOT carried over
+    here; modules also place xgp on [0, Lx], so forcing/exact callables
+    see a shifted coordinate)."""
 
     n_samples = 100
 

@@ -41,8 +41,15 @@ class Eikonal2D(FEM2DModule):
         self.tau = float(tau)
         self.sdf_weight = float(sdf_weight)
         self.normals_weight = float(normals_weight)
+        self.exact_solution = kwargs.get("exact_solution", None)
 
     def domain_residual(self, u):
+        """DELIBERATE deviation from the cited reference loss4
+        (e01_curve_reconstruction.py:485-486): the rhs here is
+        (1+tau)*N*1 instead of the reference's N*1, so the converged
+        field satisfies |grad u| = 1 exactly rather than
+        ~1/(1+tau) ≈ 0.8 — the stated physics of the SDF reconstruction
+        (tests pin mean |u - sdf| against the analytic distance)."""
         tau = self.tau
         gp = self.gp_all(u, ("N", "dx", "dy"))
         grad2 = gp["dx"] ** 2 + gp["dy"] ** 2
@@ -83,7 +90,15 @@ class EikonalFDM2D(Eikonal2D):
         super().__init__(network, dataset, **kwargs)
         from ..core.fdm import make_fdm
 
-        self.fdm = make_fdm(2, self.domain_size)
+        # actual X node count, not the scalar-alias default (the FDM
+        # stencil scale bakes (n-1) in; same bug class as the base.py h
+        # aliases). Square unit domains only — the FDM taps assume
+        # isotropic unit-length spacing.
+        if (self.domain_sizeX != self.domain_sizeY
+                or (self.domain_lengthX, self.domain_lengthY) != (1.0, 1.0)):
+            raise ValueError("EikonalFDM2D supports square unit domains "
+                             "(the FDM stencil scale assumes them)")
+        self.fdm = make_fdm(2, self.domain_sizeX)
 
     def loss(self, u, cloud, forcing_tensor):
         u = _squeeze_field(u)
@@ -92,7 +107,8 @@ class EikonalFDM2D(Eikonal2D):
         ux = self.fdm.dx(u, mode="full")
         uy = self.fdm.dy(u, mode="full")
         R1 = ux**2 + uy**2 - 1.0
-        u_pts, grad_pts = grid_interp_2d(u, pts, (self.hx, self.hy), deg=1)
+        u_pts, grad_pts = grid_interp_2d(u, pts, (self.hx, self.hy),
+                                         deg=self.fem_basis_deg)
         sdf_recon = jnp.sum(u_pts**2)
         normals_loss = (jnp.sum((grad_pts[..., 0] - normals[..., 0]) ** 2)
                         + jnp.sum((grad_pts[..., 1] - normals[..., 1]) ** 2))

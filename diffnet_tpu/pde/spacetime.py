@@ -113,6 +113,16 @@ class AllenCahnIceMelt(FEM2DModule):
                      if forcing is not None else None)
         self.exact_solution = kwargs.get("exact_solution", None)
 
+    def apply_bcs(self, u, inputs_tensor):
+        """IC row + wall substitution — the same masking loss() enforces,
+        exposed for query/viz tooling (bc nodes carry no gradient, so the
+        raw field there is untrained)."""
+        u = _squeeze_field(u)
+        u0 = jnp.asarray(self.u0, u.dtype)
+        u = jnp.where(inputs_tensor[..., 1] > 0.5,
+                      jnp.broadcast_to(u0, u.shape), u)
+        return self.apply_dirichlet(u, inputs_tensor[..., 2], 0.0)
+
     def calcG(self, u_gp):
         """Allen-Cahn reaction (e18:77-78)."""
         return (2.0 * self.ac_D * self.ac_A
@@ -134,12 +144,9 @@ class AllenCahnIceMelt(FEM2DModule):
         return R
 
     def loss(self, u, inputs_tensor, forcing_tensor):
-        u = _squeeze_field(u)
         bc1 = inputs_tensor[..., 1]
         bc2 = inputs_tensor[..., 2]
-        u0 = jnp.asarray(self.u0, u.dtype)
-        u = jnp.where(bc1 > 0.5, jnp.broadcast_to(u0, u.shape), u)
-        u = self.apply_dirichlet(u, bc2, 0.0)
+        u = self.apply_bcs(u, inputs_tensor)
         R = self.residual(u, bc1, bc2)
         return jnp.sum(R**2)
 
@@ -161,13 +168,15 @@ class BurgersSpaceTime(FEM2DModule):
                      if forcing is not None else None)
         self.exact_solution = kwargs.get("exact_solution", None)
 
-    def loss(self, u, inputs_tensor, forcing_tensor):
+    def apply_bcs(self, u, inputs_tensor):
+        """IC row (bc1_val channel) + wall substitution for query/viz."""
         u = _squeeze_field(u)
-        bc1 = inputs_tensor[..., 1]
-        bc2 = inputs_tensor[..., 2]
-        bc1_val = inputs_tensor[..., 3]
-        u = jnp.where(bc1 > 0.5, bc1_val, u)
-        u = jnp.where(bc2 > 0.5, jnp.zeros_like(u), u)
+        u = jnp.where(inputs_tensor[..., 1] > 0.5,
+                      inputs_tensor[..., 3], u)
+        return jnp.where(inputs_tensor[..., 2] > 0.5, jnp.zeros_like(u), u)
+
+    def loss(self, u, inputs_tensor, forcing_tensor):
+        u = self.apply_bcs(u, inputs_tensor)
         quants = ("N", "dx", "dy") + (("d2x",) if self.viscosity else ())
         gp = self.gp_all(u, quants)
         res = gp["dy"] + gp["N"] * gp["dx"]

@@ -87,8 +87,11 @@ def main():
         n = n if (n - 1) % 2 == 0 else n + 1
         ds = Burg2DXT(domain_size=n)
         ds.n_samples = 1
+        # Burg2DXT's x grid spans [-1, 1] (length 2): pass the physical
+        # extents or u_x comes out doubled (wave speed 2x)
         m = BurgersSpaceTime(DirectField((n, n), init=ds.initial_guess), ds,
-                             domain_size=n, batch_size=1)
+                             domain_sizes=(n, n), domain_lengths=(2.0, 1.0),
+                             batch_size=1)
         st = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",
                      lbfgs_max_iter=10, run_dir=run_dir).fit(m)
         batch = (jnp.asarray(ds[0][0])[None], jnp.asarray(ds[0][1])[None])
