@@ -104,8 +104,12 @@ def sample_ellipse_cloud(n_points=120, center=(0.5, 0.5), radii=(0.25, 0.15),
                          angle=0.0, rng=None):
     """Synthesize an oriented boundary cloud (points, outward normals,
     arc-length areas) of an ellipse — a data-free stand-in for the external
-    point-cloud archives the reference loads (IBN_2D.py:41-67)."""
+    point-cloud archives the reference loads (IBN_2D.py:41-67).
+    `rng` adds a random phase offset to the otherwise uniform parameter
+    sampling (deterministic when None)."""
     t = np.linspace(0, 2 * np.pi, n_points, endpoint=False)
+    if rng is not None:
+        t = t + rng.uniform(0.0, 2 * np.pi / n_points)
     a, b = radii
     c, s = np.cos(angle), np.sin(angle)
     R = np.array([[c, -s], [s, c]])

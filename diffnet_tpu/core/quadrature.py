@@ -168,7 +168,9 @@ def make_basis(
         raise ValueError(f"nsd must be 1, 2, or 3, got {nsd}")
     if ngp_1d is None:
         ngp_1d = _default_ngp(deg)
-    ngp_1d = max(ngp_1d, _default_ngp(deg))
+    # an explicit ngp_1d is honored as-is (reduced integration is a valid
+    # request — mass lumping, stabilized forms); it used to be silently
+    # clamped up to the degree default
 
     if np.isscalar(h):
         h = (float(h),) * nsd

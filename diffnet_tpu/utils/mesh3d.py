@@ -23,13 +23,19 @@ _EDGES = [(a, b) for a in range(8) for b in range(a + 1, 8)
 
 
 def surface_nets(field: np.ndarray, level: float = 0.5,
-                 spacing=(1.0, 1.0, 1.0)):
+                 spacing=(1.0, 1.0, 1.0), close_boundary: bool = True):
     """Extract the `level` isosurface of a [nz, ny, nx] field.
 
-    Returns (vertices [Nv, 3] xyz, quads [Nq, 4] vertex indices, CCW toward
-    the negative side).
+    Returns (vertices [Nv, 3] xyz, quads [Nq, 4] vertex indices,
+    consistently wound with normals toward the positive side).
+    `close_boundary` pads the field with one "outside" layer so surfaces
+    clipped by the grid boundary are capped (watertight) instead of left
+    with an open rim; the cap vertices sit up to half a cell outside the
+    grid extent.
     """
     f = np.asarray(field, np.float64) - level
+    if close_boundary:
+        f = np.pad(f, 1, constant_values=np.abs(f).max() + 1.0)
     nz, ny, nx = f.shape
     inside = f < 0
 
@@ -66,11 +72,13 @@ def surface_nets(field: np.ndarray, level: float = 0.5,
     quads = []
     for axis in range(3):  # edge direction (z=0, y=1, x=2)
         # edge from node p to p+e_axis; the 4 adjacent cells are offset by
-        # -1/0 in the two other axes
-        o1, o2 = [a for a in range(3) if a != axis]
+        # -1/0 in the two other axes, taken in CYCLIC order — sorted order
+        # flips the middle-axis (y) quad family's winding relative to the
+        # x/z families (odd permutation), producing an inconsistently
+        # oriented mesh
+        o1, o2 = (axis + 1) % 3, (axis + 2) % 3
         s0 = inside
         shifted = np.roll(inside, -1, axis=axis)
-        valid = np.ones_like(inside, bool)
         idx = [slice(None)] * 3
         idx[axis] = slice(0, -1)
         change = (s0 != shifted)[tuple(idx)]
@@ -104,6 +112,8 @@ def surface_nets(field: np.ndarray, level: float = 0.5,
             else:
                 quads.append((d, cq, b, a))
     quads = np.asarray(quads, np.int64).reshape(-1, 4)
+    if close_boundary:
+        verts = verts - 1.0  # undo the pad offset
     # to physical xyz
     sp = np.asarray(spacing)
     xyz = np.stack([verts[:, 2] * sp[2], verts[:, 1] * sp[1],

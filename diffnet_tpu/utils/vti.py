@@ -34,7 +34,7 @@ class VtiWriter:
         f.write('<VTKFile type="ImageData" version="0.1" '
                 'byte_order="LittleEndian">\n')
         f.write('<ImageData WholeExtent="%d %d %d %d %d %d" '
-                'Origin="%f %f %f" Spacing="%f %f %f">\n'
+                'Origin="%.9g %.9g %.9g" Spacing="%.9g %.9g %.9g">\n'
                 % (e + self.origin + self.spacing))
         f.write('<Piece Extent="%d %d %d %d %d %d">\n' % e)
 
@@ -86,7 +86,12 @@ def write_vti(path, field, origin=(0.0, 0.0, 0.0), spacing=None, name="u",
     else:
         raise ValueError(f"field must be 2D or 3D, got shape {field.shape}")
     if spacing is None:
-        spacing = tuple(1.0 / max(1, d - 1) for d in dims)
+        # point data: d nodes span [0,1] -> 1/(d-1); cell data: the field
+        # entries ARE the d cells -> 1/d (1/(d-1) stretched the domain to
+        # d/(d-1), misaligning cell overlays by one cell at the far edge)
+        div = (lambda d: max(1, d)) if as_celldata else (
+            lambda d: max(1, d - 1))
+        spacing = tuple(1.0 / div(d) for d in dims)
     off = 0 if as_celldata else 1
     p1 = tuple(max(0, d - off) for d in dims)
     w = VtiWriter((0, 0, 0), p1, origin, spacing)

@@ -41,6 +41,11 @@ def read_xyzna(path):
                 if not line:
                     break
                 areas.append(float(line[0]))
+        if areas and len(areas) != n:
+            # a short/interrupted areas block silently became all-zeros
+            # before — zero areas make every winding number 0 downstream
+            raise ValueError(
+                f"truncated areas block in {path}: {len(areas)} of {n}")
         areas = (np.asarray(areas) if len(areas) == n else np.zeros(n))
         return points, normals, areas
     data = np.loadtxt(path)

@@ -109,3 +109,33 @@ def test_klsum_stochastic_ensemble():
     inputs, forcing = ds[2]
     assert inputs.shape == (16, 16, 3)
     assert (inputs[..., 0] > 0).all()  # exp(KL) positive
+
+
+def test_surface_nets_consistent_winding_and_closure():
+    """All quad families wound consistently (the y-edge family used to be
+    flipped — middle-axis parity), and boundary-clipped surfaces are
+    watertight (Euler characteristic 2)."""
+    from diffnet_tpu.utils.mesh3d import surface_nets
+
+    n = 20
+    z, y, x = np.mgrid[0:n, 0:n, 0:n] / (n - 1.0)
+    sdf = np.sqrt((x - 0.5)**2 + (y - 0.5)**2 + (z - 0.5)**2) - 0.3
+    v, q = surface_nets(sdf, level=0.0, spacing=(1 / (n - 1.0),) * 3)
+    ctr = np.array([0.5, 0.5, 0.5])
+    flipped = 0
+    for quad in q:
+        p = v[list(quad)]
+        nrm = np.cross(p[1] - p[0], p[2] - p[0])
+        if np.dot(nrm, p.mean(0) - ctr) <= 0:
+            flipped += 1
+    assert flipped == 0, f"{flipped}/{len(q)} quads wound inward"
+
+    # clipped at the x=0 face -> cap must close the surface
+    sdf2 = np.sqrt(x**2 + (y - 0.5)**2 + (z - 0.5)**2) - 0.3
+    v2, q2 = surface_nets(sdf2, level=0.0)
+    edges = set()
+    for quad in q2:
+        for i in range(4):
+            a, b = int(quad[i]), int(quad[(i + 1) % 4])
+            edges.add((min(a, b), max(a, b)))
+    assert len(v2) - len(edges) + len(q2) == 2  # sphere topology
