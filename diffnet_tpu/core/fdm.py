@@ -28,6 +28,7 @@ DiffNetFDM.py:201-203) is implemented correctly here as dxx + dyy (+ dzz).
 from __future__ import annotations
 
 import dataclasses
+from functools import lru_cache
 from typing import Literal, Sequence
 
 import jax
@@ -110,33 +111,61 @@ def _axis_index(u_ndim: int, nsd: int, axis_name: str) -> int:
     return u_ndim - offset
 
 
+@lru_cache(maxsize=8)
+def _d1_correction_coeffs(num_pt: int) -> np.ndarray:
+    """Boundary-correction coefficients for the replicate-padded first
+    derivative, SOLVED so each corrected boundary column is exact on
+    monomials up to the stencil's interior order (x..x^2 for 3-pt,
+    x..x^3 for 5-pt) — the reference's hardcoded 5-pt constants
+    (DiffNetFDM.py:74-89) are NOT exact under its own replicate padding
+    (measured 34% error on a unit-slope linear field at column 0); the
+    3-pt constants [4, -1] are recovered exactly by this solve. Scale-
+    and smoothing-invariant (corrections are linear combinations of the
+    raw derivative columns). Returns [n_fix_cols, n_coeffs]."""
+    k = 1 if num_pt == 3 else 2      # boundary columns to fix per side
+    m = 2 if num_pt == 3 else 3      # coefficients per column
+    pad = (num_pt - 1) // 2
+    taps = (np.array([-1.0, 0.0, 1.0]) / 2.0 if num_pt == 3
+            else np.array([1.0, -8.0, 0.0, 8.0, -1.0]) / 12.0)
+    n = 12
+    x = np.arange(n, dtype=np.float64)
+
+    def raw_d(u):
+        up = np.pad(u, pad, mode="edge")
+        return np.correlate(up, taps, mode="valid")
+
+    out = np.zeros((k, m))
+    for col in range(k):
+        A = np.zeros((m, m))
+        b = np.zeros(m)
+        for j, p in enumerate(range(1, m + 1)):
+            d = raw_d(x**p)
+            A[j] = d[:m]
+            b[j] = p * x[col] ** (p - 1)
+        out[col] = np.linalg.solve(A, b)
+    return out
+
+
 def _d1_boundary_fix(d: jax.Array, axis: int, num_pt: int) -> jax.Array:
-    """One-sided first-derivative boundary fix — algebraically the reference's
-    correction-matrix product (DiffNetFDM.py:68-89)."""
+    """One-sided first-derivative boundary fix — the reference's
+    correction-matrix product (DiffNetFDM.py:68-89), with the 5-pt
+    coefficients re-derived to be exact (see _d1_correction_coeffs)."""
 
     def take(i):
         sl = [slice(None)] * d.ndim
         sl[axis] = i
         return d[tuple(sl)]
 
-    if num_pt == 3:
-        first = 4.0 * take(0) - take(1)
-        last = 4.0 * take(-1) - take(-2)
-        d = d.at[tuple([slice(None)] * axis + [0])].set(first)
-        d = d.at[tuple([slice(None)] * axis + [-1])].set(last)
-        return d
-    # 5-pt corrections (reference constants, DiffNetFDM.py:74-89)
-    c = [7.469077911720371, -3.617376998526026, 1.523414436571198]
-    e = [-1.715859601067273, 2.053315601134080, -0.484817674298193]
-    col0 = c[0] * take(0) + c[1] * take(1) + c[2] * take(2)
-    col1 = e[0] * take(0) + e[1] * take(1) + e[2] * take(2)
-    colm1 = c[0] * take(-1) + c[1] * take(-2) + c[2] * take(-3)
-    colm2 = e[0] * take(-1) + e[1] * take(-2) + e[2] * take(-3)
+    C = _d1_correction_coeffs(num_pt)
     pre = [slice(None)] * axis
-    d = d.at[tuple(pre + [0])].set(col0)
-    d = d.at[tuple(pre + [1])].set(col1)
-    d = d.at[tuple(pre + [-1])].set(colm1)
-    d = d.at[tuple(pre + [-2])].set(colm2)
+    k, m = C.shape
+    cols = {}
+    for col in range(k):
+        cols[col] = sum(C[col, j] * take(j) for j in range(m))
+        cols[-1 - col] = sum(C[col, j] * take(-1 - j) for j in range(m))
+    for col, val in cols.items():
+        d = d.at[tuple(pre + [col if col >= 0 else d.shape[axis] + col])].set(
+            val)
     return d
 
 
@@ -164,6 +193,23 @@ class FDMStencils:
     n: int
     ktype: KType = "fdm"
     num_pt: int = 3
+
+    def __post_init__(self):
+        # the 'fs' learned-filter kernel is a fixed 5-tap stencil; padding
+        # and cross-axis smoothing derive their width from num_pt, so a
+        # mismatched value would broadcast-error (or silently under-pad).
+        # Guard HERE so direct FDMStencils construction is as safe as the
+        # make_fdm factory.
+        if self.nsd not in (2, 3):
+            raise ValueError(f"nsd must be 2 or 3, got {self.nsd}")
+        if self.ktype == "fs":
+            if self.num_pt == 3:
+                object.__setattr__(self, "num_pt", 5)  # signature default
+            elif self.num_pt != 5:
+                raise ValueError(
+                    f"ktype='fs' uses a fixed 5-tap stencil; "
+                    f"num_pt={self.num_pt} is incompatible (pass num_pt=5 "
+                    "or omit it)")
 
     def _taps(self):
         return _stencil_taps(self.ktype, self.num_pt, self.n)
@@ -225,16 +271,6 @@ class FDMStencils:
 
 
 def make_fdm(nsd: int, n: int, ktype: KType = "fdm", num_pt: int = 3) -> FDMStencils:
-    if nsd not in (2, 3):
-        raise ValueError(f"nsd must be 2 or 3, got {nsd}")
-    if ktype == "fs":
-        # the learned-filter kernel is a fixed 5-tap stencil: padding and
-        # cross-axis smoothing in _d1 derive their width from num_pt, so any
-        # other value would broadcast-error (or silently under-pad)
-        if num_pt == 3:
-            num_pt = 5  # 3 is just the signature default — upgrade silently
-        elif num_pt != 5:
-            raise ValueError(
-                f"ktype='fs' uses a fixed 5-tap stencil; num_pt={num_pt} "
-                "is incompatible (pass num_pt=5 or omit it)")
+    # validation (incl. the fs/num_pt compatibility upgrade) lives in
+    # FDMStencils.__post_init__ so direct construction is equally safe
     return FDMStencils(nsd=nsd, n=n, ktype=ktype, num_pt=num_pt)

@@ -40,10 +40,14 @@ def image_to_point_cloud(img, n_points=None):
     nx = ndimage.convolve(img, kx)
     ny = ndimage.convolve(img, ky)
     mag = np.hypot(nx, ny)
-    bnd = mag > 1e-9
+    # the Sobel response is a ~2px band straddling the interface; keep the
+    # INSIDE ring only so the cloud is a single clean contour (otherwise
+    # segment-length quadrature weights double-count both rings)
+    bnd = (mag > 1e-9) & (img > 0.5)
     ys, xs = np.nonzero(bnd)
-    n = img.shape[0]
-    pts = np.stack([xs, ys], -1) / (n - 1)
+    ny_, nx_ = img.shape
+    # per-axis normalization: a non-square image must still land in [0,1]^2
+    pts = np.stack([xs / max(1, nx_ - 1), ys / max(1, ny_ - 1)], -1)
     nrm = np.stack([nx[bnd], ny[bnd]], -1)
     nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
     # Sobel of the characteristic fn points inward->outward depending on
@@ -71,6 +75,14 @@ class PCVox:
             img = np.asarray(img_or_path, float)
         self.domain_size = domain_size
         pts, nrm = image_to_point_cloud(img, n_points)
+        # order points along the contour (polar angle around the centroid)
+        # before the segment-length quadrature: np.nonzero scan order jumps
+        # across the shape at every row, inflating the area weights ~20x
+        # (exact for star-shaped boundaries; the image masks here are)
+        ang = np.arctan2(pts[:, 1] - pts[:, 1].mean(),
+                         pts[:, 0] - pts[:, 0].mean())
+        order = np.argsort(ang)
+        pts, nrm = pts[order], nrm[order]
         d = np.linalg.norm(np.roll(pts, -1, 0) - pts, axis=-1)
         area = 0.5 * (d + np.roll(d, 1, 0))
         self.cloud = np.concatenate([pts, nrm, area[:, None]],
@@ -89,12 +101,15 @@ def nurbs_curve(control_points, weights=None, degree=3, n_samples=200,
     """Sample a (rational) B-spline curve: de Boor evaluation on a uniform
     knot vector. Returns (points[N,2], outward normals[N,2], areas[N])."""
     P = np.asarray(control_points, np.float64)
+    if weights is None:
+        weights = np.ones(len(P))
+    w = np.asarray(weights, np.float64)
+    if len(w) != len(P):
+        raise ValueError(f"{len(w)} weights for {len(P)} control points")
     if closed:
         P = np.concatenate([P, P[:degree]], axis=0)
+        w = np.concatenate([w, w[:degree]])  # wrap like the points
     m = len(P)
-    if weights is None:
-        weights = np.ones(m)
-    w = np.asarray(weights, np.float64)[:m]
     # uniform clamped/periodic knots
     if closed:
         knots = np.arange(m + degree + 1, dtype=np.float64)
@@ -123,14 +138,24 @@ def nurbs_curve(control_points, weights=None, degree=3, n_samples=200,
     num = (B * w[:, None]).T @ P
     den = (B * w[:, None]).sum(0)[:, None]
     pts = num / den
-    # tangents by finite difference (periodic), outward normal = rot -90
+    # tangents by finite difference (periodic when closed; one-sided at
+    # the endpoints of an open curve — np.roll there would span the whole
+    # curve, giving arbitrary endpoint normals and ~10x inflated areas)
     nxt = np.roll(pts, -1, 0)
     prv = np.roll(pts, 1, 0)
     tang = nxt - prv
+    if not closed:
+        tang[0] = pts[1] - pts[0]
+        tang[-1] = pts[-1] - pts[-2]
     tang /= np.linalg.norm(tang, axis=-1, keepdims=True)
     nrm = np.stack([tang[:, 1], -tang[:, 0]], -1)
     d = np.linalg.norm(nxt - pts, axis=-1)
+    if not closed:
+        d[-1] = 0.0  # no wrap segment on an open curve
     areas = 0.5 * (d + np.roll(d, 1, 0))
+    if not closed:
+        areas[0] = 0.5 * d[0]
+        areas[-1] = 0.5 * d[-2]
     return (pts.astype(np.float32), nrm.astype(np.float32),
             areas.astype(np.float32))
 
@@ -271,7 +296,12 @@ class TopoDataset3D:
         bc2[[0, -1], :, :] = 1
         bc2[:, [0, -1], :] = 1
         bc2[:, :, [0, -1]] = 1
-        for chi in vols:
+        for i, chi in enumerate(vols):
+            if chi.shape != (n, n, n):
+                raise ValueError(
+                    f"topology volume {i} has shape {chi.shape}, expected "
+                    f"({n}, {n}, {n}) — pass domain_size matching the npz "
+                    "resolution (or resample the volumes)")
             domain = np.ones((n, n, n))
             self.samples.append(np.stack([domain, chi, bc2],
                                          -1).astype(np.float32))

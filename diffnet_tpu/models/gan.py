@@ -69,10 +69,10 @@ class _ResUp(nn.Module):
         b, hgt, wid, c = x.shape
         up = jax.image.resize(x, (b, 2 * hgt, 2 * wid, c), "nearest")
         short = nn.Conv(self.features, (1, 1))(up)
-        h = nn.relu(nn.GroupNorm(num_groups=min(8, c))(x))
+        h = nn.relu(nn.GroupNorm(num_groups=math.gcd(8, c))(x))
         h = jax.image.resize(h, (b, 2 * hgt, 2 * wid, c), "nearest")
         h = nn.Conv(self.features, (self.kernel,) * 2, padding="SAME")(h)
-        h = nn.relu(nn.GroupNorm(num_groups=min(8, self.features))(h))
+        h = nn.relu(nn.GroupNorm(num_groups=math.gcd(8, self.features))(h))
         h = nn.Conv(self.features, (self.kernel,) * 2, padding="SAME")(h)
         return h + short
 
@@ -105,11 +105,17 @@ class LatentGenerator(nn.Module):
         b = x.shape[0]
         d = self.dim
         h = nn.Dense(8 * d * 4 * 4)(x.reshape(b, -1)).reshape(b, 4, 4, 8 * d)
+        if self.out_size < 4 or self.out_size & (self.out_size - 1):
+            raise ValueError(
+                f"out_size must be a power of two >= 4, got {self.out_size} "
+                "(the generator doubles resolution from a 4x4 seed)")
         n_up = int(math.log2(self.out_size // 4))
-        feats = [8 * d] * max(0, n_up - 3) + [4 * d, 2 * d, d][-min(3, n_up):]
+        # NB [-0:] would be the WHOLE list — guard the n_up=0 case
+        tail = [4 * d, 2 * d, d][-min(3, n_up):] if n_up else []
+        feats = [8 * d] * max(0, n_up - 3) + tail
         for f in feats:
             h = _ResUp(f)(h)
-        h = nn.relu(nn.GroupNorm(num_groups=min(8, h.shape[-1]))(h))
+        h = nn.relu(nn.GroupNorm(num_groups=math.gcd(8, h.shape[-1]))(h))
         return nn.sigmoid(nn.Conv(1, (3, 3), padding="SAME")(h))
 
 

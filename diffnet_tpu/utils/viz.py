@@ -11,7 +11,8 @@ import os
 
 import numpy as np
 
-__all__ = ["plot_contours", "plot_line_cuts", "ContourPlotCallback"]
+__all__ = ["plot_contours", "plot_line_cuts", "ContourPlotCallback",
+           "plot_losses", "plot_point_histograms"]
 
 
 def plot_contours(save_path, fields: dict, ncols=None, cmap="jet",
@@ -119,7 +120,8 @@ def plot_losses(run_dir, save_name="losses.png", log_scale=True):
     from matplotlib import pyplot as plt
 
     path = os.path.join(run_dir, "metrics.csv")
-    rows = list(csv.DictReader(open(path)))
+    with open(path, newline="") as fh:
+        rows = list(csv.DictReader(fh))
     epochs = [int(float(r["epoch"])) for r in rows]
     fig, ax = plt.subplots(figsize=(5, 3.2))
     for key in rows[0]:

@@ -145,3 +145,37 @@ def test_fs_kernel_num_pt_handling():
     assert d.shape == u.shape
     with pytest.raises(ValueError):
         make_fdm(2, 17, ktype="fs", num_pt=4)
+
+
+def test_full_mode_boundary_exactness():
+    """Boundary-corrected first derivatives are exact on polynomials up to
+    the stencil's interior order — the reference's hardcoded 5-pt
+    constants (DiffNetFDM.py:74-89) were NOT (34% error on a linear field
+    at the boundary under its own replicate padding; deliberately fixed
+    by solving the correction coefficients, core/fdm.py)."""
+    import jax.numpy as jnp
+
+    from diffnet_tpu.core.fdm import make_fdm
+
+    n = 33
+    x = np.linspace(0, 1, n)
+    X, _ = np.meshgrid(x, x)
+    for num_pt, p in ((3, 2), (5, 3)):
+        f = make_fdm(2, n, num_pt=num_pt)
+        u = jnp.asarray(X**p)[None]
+        d = np.asarray(f.dx(u, mode="full"))[0]
+        exact = p * X ** (p - 1)
+        np.testing.assert_allclose(d[16], exact[16], atol=5e-3)
+
+
+def test_fdmstencils_direct_construction_fs_guard():
+    """FDMStencils('fs') is safe to construct directly (the num_pt upgrade
+    used to live only in make_fdm; direct construction broadcast-crashed)."""
+    import jax.numpy as jnp
+
+    from diffnet_tpu.core.fdm import FDMStencils
+
+    f = FDMStencils(nsd=2, n=17, ktype="fs")
+    assert f.num_pt == 5
+    u = jnp.ones((1, 17, 17))
+    assert np.isfinite(np.asarray(f.dx(u, mode="full"))).all()

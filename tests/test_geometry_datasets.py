@@ -125,3 +125,42 @@ def test_tensorboard_logger(tmp_path):
     import os
 
     assert any(f.startswith("events") for f in os.listdir(tmp_path))
+
+
+def test_pcvox_area_weights_are_contour_lengths():
+    """PCVox area channel must approximate the true boundary perimeter
+    (scan-order adjacency inflated it ~22x; contour ordering + inside-ring
+    filtering brings it to the pixel-staircase limit)."""
+    from diffnet_tpu.data.geometry_datasets import PCVox
+
+    n = 64
+    y, x = np.mgrid[0:n, 0:n]
+    img = (((x - 32) ** 2 + (y - 32) ** 2) < 20 ** 2).astype(float)
+    ds = PCVox(img, domain_size=n)
+    perim = float(ds.cloud[:, 4].sum())
+    true = 2 * np.pi * 20 / (n - 1)
+    assert 0.9 * true < perim < 1.35 * true, (perim, true)
+
+
+def test_nurbs_weights_and_open_curves():
+    """Closed curves wrap explicit weights (used to broadcast-crash); open
+    curves use one-sided endpoint tangents (periodic roll spanned the
+    whole curve, inflating endpoint areas ~10x)."""
+    from diffnet_tpu.data.geometry_datasets import nurbs_curve
+
+    t = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+    ctrl = 0.5 + 0.3 * np.stack([np.cos(t), np.sin(t)], -1)
+    pts, nrm, area = nurbs_curve(ctrl, weights=np.ones(8))
+    assert np.isfinite(pts).all()
+    p2, n2, a2 = nurbs_curve(ctrl[:5], degree=2, closed=False)
+    med = float(np.median(a2))
+    assert a2[0] < 3 * med and a2[-1] < 3 * med
+
+
+def test_image_to_point_cloud_nonsquare():
+    from diffnet_tpu.data.geometry_datasets import image_to_point_cloud
+
+    img = np.zeros((32, 64))
+    img[8:24, 16:48] = 1
+    pts, nrm = image_to_point_cloud(img)
+    assert (pts >= 0).all() and (pts <= 1).all()
