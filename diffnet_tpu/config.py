@@ -52,7 +52,11 @@ class RunConfig:
         with open(path) as f:
             raw = json.load(f)
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in raw.items() if k in known})
+        # JSON has no tuples: restore the tuple invariant for list values
+        # (a list default would make add_config_args register type=list,
+        # turning '--lr-milestones 100' into ('1','0','0'))
+        return cls(**{k: (tuple(v) if isinstance(v, list) else v)
+                      for k, v in raw.items() if k in known})
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)
@@ -91,8 +95,19 @@ def _parse_inp(text: str) -> dict:
     (the reference's conf_e8_2d.inp / conf_e8_poisson3d.inp format, loaded
     with the libconf package which this image doesn't ship)."""
     out: dict[str, Any] = {}
+
+    def strip_comment(s: str) -> str:
+        # drop #/// comments, but not inside a quoted value
+        quoted = False
+        for i, ch in enumerate(s):
+            if ch == '"':
+                quoted = not quoted
+            elif not quoted and (ch == "#" or s[i:i + 2] == "//"):
+                return s[:i]
+        return s
+
     for raw in text.splitlines():
-        line = raw.split("#")[0].split("//")[0].strip().rstrip(";")
+        line = strip_comment(raw).strip().rstrip(";")
         if not line or "=" not in line:
             continue
         key, val = (p.strip() for p in line.split("=", 1))
@@ -111,20 +126,19 @@ def _parse_inp(text: str) -> dict:
     return out
 
 
-def config_from_inp(path: str, base: RunConfig | None = None) -> RunConfig:
-    """Load a reference-style .inp file into a RunConfig (unknown keys are
-    kept in `extras`-style attributes via replace-compatible dict)."""
+def config_from_inp(path: str, base: RunConfig | None = None,
+                    return_extras: bool = False):
+    """Load a reference-style .inp file into a RunConfig. Unknown keys are
+    NOT silently dropped: pass ``return_extras=True`` to receive them as a
+    second dict (problem parameters like the reference's ``nu``/``Nx``)."""
     with open(path) as f:
         raw = _parse_inp(f.read())
     cfg = base or RunConfig()
     known = {f.name for f in dataclasses.fields(RunConfig)}
-    # map common reference key spellings
-    alias = {"LR": "learning_rate", "max_epochs": "max_epochs",
-             "domain_size": "domain_size", "loss_type": "loss_type",
-             "optimizer": "optimizer"}
-    kw = {}
+    alias = {"LR": "learning_rate"}  # reference key spellings
+    kw, extras = {}, {}
     for k, v in raw.items():
         k2 = alias.get(k, k)
-        if k2 in known:
-            kw[k2] = v
-    return cfg.replace(**kw)
+        (kw if k2 in known else extras).__setitem__(k2, v)
+    cfg = cfg.replace(**kw)
+    return (cfg, extras) if return_extras else cfg

@@ -75,25 +75,51 @@ class NumpyLoader:
 
     def _prefetch_iter(self):
         """Host-side background prefetch (the counterpart of torch
-        DataLoader workers, reference base.py:18 n_workers)."""
+        DataLoader workers, reference base.py:18 n_workers).
+
+        The producer forwards dataset exceptions to the consumer (a raise
+        inside __getitem__ used to leave the consumer blocked forever) and
+        watches a stop flag so an early consumer exit (fast_dev_run
+        breaking after one batch) releases the thread instead of leaking
+        it blocked on a full queue."""
         import queue
         import threading
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         END = object()
+        stop = threading.Event()
+
+        def put(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
-            for b in self._plain_iter():
-                q.put(b)
-            q.put(END)
+            try:
+                for b in self._plain_iter():
+                    if not put(b):
+                        return
+            except BaseException as e:  # forwarded, re-raised by consumer
+                put(e)
+                return
+            put(END)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            b = q.get()
-            if b is END:
-                return
-            yield b
+        try:
+            while True:
+                b = q.get()
+                if b is END:
+                    return
+                if isinstance(b, BaseException):
+                    raise b
+                yield b
+        finally:
+            stop.set()
 
     def _plain_iter(self) -> Iterator:
         n = len(self.dataset)

@@ -42,9 +42,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """device_put every array in the batch with batch-axis sharding."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch)
+    """device_put the batch with batch-axis sharding on 'data'.
+
+    Only leaves whose axis 0 matches the batch size (taken from the first
+    array leaf) are split; scalars and shared per-sample arrays (masks,
+    coordinates) are replicated — splitting them row-wise would hand each
+    device the wrong rows, and a 0-d leaf would crash device_put."""
+    leaves = [x for x in jax.tree.leaves(batch) if np.ndim(x) >= 1]
+    bs = np.shape(leaves[0])[0] if leaves else None
+
+    def put(x):
+        if np.ndim(x) >= 1 and np.shape(x)[0] == bs:
+            return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree.map(put, batch)
 
 
 def spatial_sharding(mesh: Mesh, ndim: int, y_axis: int) -> NamedSharding:

@@ -54,31 +54,25 @@ def poisson_residual_spatial(u, nu, basis: FEMBasis, mesh,
                              axis_name: str = "space"):
     """Assembled stiffness action K(nu)u with explicit halo exchange.
 
-    u, nu: [B, n, n] with n divisible by the 'space' axis size. Returns
-    [B, n, n] equal to the single-device assembly (pinned by test).
+    u, nu: [B, ny, nx] with the ROW count divisible by the 'space' axis
+    size (the grid is split along rows, axis -2). Returns [B, ny, nx]
+    equal to the single-device assembly (pinned by test).
     """
-    n = u.shape[-1]
+    n = u.shape[-2]  # rows — the axis shard_map splits
     S = mesh.shape[axis_name]
     assert n % S == 0, f"rows {n} not divisible by space={S}"
     n_loc = n // S
 
+    from .mesh import halo_exchange_y
+
     def local_fn(u_loc, nu_loc):
-        # u_loc [B, n_loc, n]
+        # u_loc [B, n_loc, n]; one canonical halo-exchange implementation
+        # (mesh.halo_exchange_y) instead of a second copy of the ppermute
+        # edge logic
         idx = jax.lax.axis_index(axis_name)
-
-        def halo(x):
-            # receive prev shard's last row and next shard's first row
-            from_prev = jax.lax.ppermute(
-                x[:, -1:, :], axis_name, [(i, (i + 1) % S) for i in range(S)])
-            from_next = jax.lax.ppermute(
-                x[:, :1, :], axis_name, [(i, (i - 1) % S) for i in range(S)])
-            zero = jnp.zeros_like(from_prev)
-            from_prev = jnp.where(idx == 0, zero, from_prev)
-            from_next = jnp.where(idx == S - 1, zero, from_next)
-            return jnp.concatenate([from_prev, x, from_next], axis=1)
-
-        R_halo = _local_contrib(halo(u_loc), halo(nu_loc), basis, idx, S,
-                                n_loc)
+        R_halo = _local_contrib(halo_exchange_y(u_loc, axis_name, 1),
+                                halo_exchange_y(nu_loc, axis_name, 1),
+                                basis, idx, S, n_loc)
         # compute-overlap scheme: the cut elements (global rows r0-1 and
         # r0+n_loc-1) are computed by BOTH adjacent shards, and each shard
         # keeps only the contributions landing on its OWN node rows — so no

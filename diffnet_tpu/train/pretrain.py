@@ -43,8 +43,12 @@ def pretrain_autoencoder(model, dataset, epochs=10, batch_size=16,
                          verbose=False):
     """MSE-reconstruction pretraining loop (reference training_epoch + main,
     pretrained_AE.py:41-107). Returns trained params."""
+    # cap the batch at the dataset size: the default drop_last loader
+    # yields ZERO batches for a small dataset, which surfaced as a bare
+    # StopIteration here (and silently skipped the remainder otherwise)
+    batch_size = min(batch_size, len(dataset))
     loader = NumpyLoader(dataset, batch_size=batch_size, shuffle=True,
-                         seed=seed)
+                         seed=seed, drop_last=False)
     sample = next(iter(loader))
     params = model.init(jax.random.key(seed), jnp.asarray(sample[0]))
     opt = optax.adam(learning_rate)
