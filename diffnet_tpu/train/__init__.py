@@ -1,5 +1,9 @@
 from .continuation import coarse_to_fine, prolong_field  # noqa: F401
-from .linear import module_linear_solve, solve_linear  # noqa: F401
+from .linear import (  # noqa: F401
+    module_linear_solve,
+    multigrid_preconditioner,
+    solve_linear,
+)
 from .query import (  # noqa: F401
     calc_mean_stddev,
     point_histograms,

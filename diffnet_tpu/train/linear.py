@@ -28,7 +28,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["solve_linear", "module_linear_solve"]
+__all__ = ["solve_linear", "module_linear_solve", "multigrid_preconditioner"]
 
 
 def solve_linear(residual_fn: Callable, shape, method: str = "cg",
@@ -115,3 +115,96 @@ def module_linear_solve(module, inputs_tensor=None, forcing_tensor=None,
         u = apply_bcs(u[None], inputs)
         u = u[0] if not isinstance(u, tuple) else u[0][0]
     return np.asarray(u), info
+
+
+def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
+                             n_smooth: int = 3, inputs_per_level=None):
+    """Matrix-free geometric-multigrid V-cycle preconditioner M ~ A^-1 for
+    :func:`solve_linear` on node-aligned grid hierarchies (n = 2^k + 1).
+
+    TPU-idiomatic: every level's operator is the module's own fused
+    residual assembly (element-tensor / GP pipeline), the prolongation is
+    `train.continuation.prolong_field`, restriction is its exact adjoint
+    (one `jax.vjp`), smoothing is damped Richardson with the step sized by
+    a power-iteration estimate of ||A_l||, and the coarsest level is a
+    dense pseudo-inverse built once by probing. All components are LINEAR,
+    so M is a valid (fixed) preconditioner for CG.
+
+    module_factory(n) -> module exposing residual_for_field (the same
+    factory contract as `continuation.coarse_to_fine`). Returns (M, info)
+    where M maps a fine-grid field to the V-cycle estimate of A^-1 v.
+    """
+    import numpy as np
+
+    from .continuation import prolong_field
+
+    # grid hierarchy n_fine -> ... -> n_coarse (node-aligned halvings)
+    ns = [n_fine]
+    while ns[-1] > n_coarse:
+        nxt = (ns[-1] - 1) // 2 + 1
+        if (ns[-1] - 1) % 2 or nxt < 3:
+            break
+        ns.append(nxt)
+
+    ops, omegas = [], []
+    for n in ns:
+        m = module_factory(n)
+        if inputs_per_level is not None:
+            inputs, forcing = inputs_per_level(n)
+        else:
+            inputs, forcing = m.dataset[0]
+        inputs = jnp.asarray(inputs)[None]
+        forcing = jnp.asarray(forcing)[None] if forcing is not None else None
+
+        def res(u, m=m, inputs=inputs, forcing=forcing):
+            return m.residual_for_field(u[None], inputs, forcing)[0]
+
+        zero = jnp.zeros((n, n), jnp.float32)
+        b0 = res(zero)
+
+        def A(u, res=res, b0=b0):
+            return res(u) - b0
+
+        A = jax.jit(A)
+        # power iteration for ||A||_2 (A is symmetric for the Galerkin
+        # stiffness); 20 steps is plenty for a smoothing-step bound
+        v = jnp.asarray(np.random.default_rng(0).random((n, n)), jnp.float32)
+        for _ in range(20):
+            v = A(v)
+            v = v / (jnp.linalg.norm(v) + 1e-30)
+        lam = float(jnp.vdot(v, A(v)))
+        ops.append(A)
+        omegas.append(0.8 / max(lam, 1e-30))
+
+    # coarsest: dense pseudo-inverse by probing (Dirichlet rows are zero
+    # rows -> pinv leaves them at zero, which is exactly right)
+    nc = ns[-1]
+    eye = np.eye(nc * nc, dtype=np.float32)
+    cols = [np.asarray(ops[-1](jnp.asarray(
+        eye[i].reshape(nc, nc)))).reshape(-1) for i in range(nc * nc)]
+    A0 = np.stack(cols, axis=1)
+    A0_pinv = jnp.asarray(np.linalg.pinv(A0), jnp.float32)
+
+    def smooth(A, omega, u, b, k):
+        for _ in range(k):
+            u = u + omega * (b - A(u))
+        return u
+
+    def vcycle(level, b):
+        A, omega = ops[level], omegas[level]
+        if level == len(ns) - 1:
+            return (A0_pinv @ b.reshape(-1)).reshape(b.shape)
+        u = smooth(A, omega, jnp.zeros_like(b), b, n_smooth)
+        r = b - A(u)
+        # restriction = exact adjoint of the node-aligned prolongation
+        coarse_shape = (ns[level + 1], ns[level + 1])
+        _, vjp = jax.vjp(
+            lambda c: prolong_field(c, (ns[level], ns[level])),
+            jnp.zeros(coarse_shape, b.dtype))
+        r_c = vjp(r)[0]
+        e_c = vcycle(level + 1, r_c)
+        u = u + prolong_field(e_c, (ns[level], ns[level]))
+        return smooth(A, omega, u, b, n_smooth)
+
+    M = jax.jit(lambda v: vcycle(0, v))
+    return M, {"levels": ns, "omegas": omegas}
