@@ -22,10 +22,11 @@ def main():
     p.add_argument("--loss-type", default="resmin",
                    choices=["energy", "resmin", "strong"])
     p.add_argument("--optimizer", default="lbfgs",
-                   choices=["adam", "sgd", "lbfgs", "cg"],
-                   help="cg = direct matrix-free Krylov solve of the "
-                        "linear system (train.linear; resmin/deg-any), "
-                        "no training loop")
+                   choices=["adam", "sgd", "lbfgs", "cg", "mg-cg"],
+                   help="cg / mg-cg = direct matrix-free Krylov solve of "
+                        "the linear system (train.linear), no training "
+                        "loop; mg-cg adds the geometric-multigrid V-cycle "
+                        "preconditioner (needs n = 2^k + 1)")
     p.add_argument("--fem-basis-deg", type=int, default=1)
     p.add_argument("--max-epochs", type=int, default=80)
     p.add_argument("--learning-rate", type=float, default=3e-4)
@@ -54,10 +55,23 @@ def main():
                        forcing=forcing, mms_dirichlet=True,
                        learning_rate=args.learning_rate)
     run_dir = make_run_dir(args.out_dir, f"poisson-mms-{args.loss_type}")
-    if args.optimizer == "cg":
-        from diffnet_tpu.train import module_linear_solve
+    if args.optimizer in ("cg", "mg-cg"):
+        from diffnet_tpu.train import (module_linear_solve,
+                                       multigrid_preconditioner)
 
-        u, _ = module_linear_solve(module, tol=1e-10)
+        M = None
+        if args.optimizer == "mg-cg":
+            def factory(nn_):
+                ds_ = RectangleManufactured(domain_size=nn_)
+                ds_.n_samples = 1
+                return Poisson2D(
+                    DirectField((nn_, nn_)), ds_, domain_size=nn_,
+                    batch_size=1, fem_basis_deg=args.fem_basis_deg,
+                    loss_type="resmin", exact_solution=exact,
+                    forcing=forcing, mms_dirichlet=True)
+
+            M, _ = multigrid_preconditioner(factory, n)
+        u, _ = module_linear_solve(module, tol=1e-10, M=M)
         u = np.asarray(u)
     else:
         trainer = Trainer(max_epochs=args.max_epochs,
