@@ -118,7 +118,8 @@ def module_linear_solve(module, inputs_tensor=None, forcing_tensor=None,
 
 
 def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
-                             n_smooth: int = 3, inputs_per_level=None):
+                             n_smooth: int = 3, inputs_per_level=None,
+                             nsd: int = 2):
     """Matrix-free geometric-multigrid V-cycle preconditioner M ~ A^-1 for
     :func:`solve_linear` on node-aligned grid hierarchies (n = 2^k + 1).
 
@@ -159,7 +160,7 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
         def res(u, m=m, inputs=inputs, forcing=forcing):
             return m.residual_for_field(u[None], inputs, forcing)[0]
 
-        zero = jnp.zeros((n, n), jnp.float32)
+        zero = jnp.zeros((n,) * nsd, jnp.float32)
         b0 = res(zero)
 
         def A(u, res=res, b0=b0):
@@ -168,7 +169,8 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
         A = jax.jit(A)
         # power iteration for ||A||_2 (A is symmetric for the Galerkin
         # stiffness); 20 steps is plenty for a smoothing-step bound
-        v = jnp.asarray(np.random.default_rng(0).random((n, n)), jnp.float32)
+        v = jnp.asarray(np.random.default_rng(0).random((n,) * nsd),
+                        jnp.float32)
         for _ in range(20):
             v = A(v)
             v = v / (jnp.linalg.norm(v) + 1e-30)
@@ -179,11 +181,17 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
     # coarsest: dense pseudo-inverse by probing (Dirichlet rows are zero
     # rows -> pinv leaves them at zero, which is exactly right)
     nc = ns[-1]
-    eye = np.eye(nc * nc, dtype=np.float32)
+    ndof = nc ** nsd
+    eye = np.eye(ndof, dtype=np.float32)
     cols = [np.asarray(ops[-1](jnp.asarray(
-        eye[i].reshape(nc, nc)))).reshape(-1) for i in range(nc * nc)]
+        eye[i].reshape((nc,) * nsd)))).reshape(-1) for i in range(ndof)]
     A0 = np.stack(cols, axis=1)
-    A0_pinv = jnp.asarray(np.linalg.pinv(A0), jnp.float32)
+    # rcond cuts the near-null modes from the Dirichlet rows: with a
+    # nonzero level forcing the A = R(u) - R(0) cancellation leaves f32
+    # noise (~1e-7) in the masked rows, and the DEFAULT pinv cutoff kept
+    # those as 1e-7-singular-value modes -> 1e14 entries in the inverse
+    # (the coarse grid's true cond is ~(n_coarse-1)^2, far above 1e-5)
+    A0_pinv = jnp.asarray(np.linalg.pinv(A0, rcond=1e-5), jnp.float32)
 
     def smooth(A, omega, u, b, k):
         for _ in range(k):
@@ -197,13 +205,14 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
         u = smooth(A, omega, jnp.zeros_like(b), b, n_smooth)
         r = b - A(u)
         # restriction = exact adjoint of the node-aligned prolongation
-        coarse_shape = (ns[level + 1], ns[level + 1])
+        coarse_shape = (ns[level + 1],) * nsd
+        fine_shape = (ns[level],) * nsd
         _, vjp = jax.vjp(
-            lambda c: prolong_field(c, (ns[level], ns[level])),
+            lambda c: prolong_field(c, fine_shape),
             jnp.zeros(coarse_shape, b.dtype))
         r_c = vjp(r)[0]
         e_c = vcycle(level + 1, r_c)
-        u = u + prolong_field(e_c, (ns[level], ns[level]))
+        u = u + prolong_field(e_c, fine_shape)
         return smooth(A, omega, u, b, n_smooth)
 
     M = jax.jit(lambda v: vcycle(0, v))

@@ -145,3 +145,42 @@ def test_multigrid_preconditioned_cg():
     r_cg = float(jnp.linalg.norm(resfn(u_cg)) / jnp.linalg.norm(b))
     assert r_mg < 1e-4, r_mg
     assert r_mg < r_cg / 50, (r_mg, r_cg)
+
+
+def test_multigrid_3d():
+    """3D MG-CG (nsd=3): trilinear transfers + probed coarse inverse reach
+    the f32 floor in 10 iterations at 33^3 on a rough RHS (plain CG:
+    5e-3 at 20). Also pins the coarse-pinv rcond fix — noise singular
+    values from the masked rows used to blow the inverse up to 1e14."""
+    import jax.numpy as jnp
+
+    from diffnet_tpu.data.single_instances import CuboidManufactured
+    from diffnet_tpu.pde import Poisson3D
+    from diffnet_tpu.train import multigrid_preconditioner
+    from diffnet_tpu.train.linear import solve_linear
+
+    def factory(n):
+        ds = CuboidManufactured(domain_size=n)
+        ds.n_samples = 1
+        return Poisson3D(DirectField((n, n, n)), ds, domain_size=n,
+                         batch_size=1, loss_type="resmin")
+
+    n = 17
+    m = factory(n)
+    inputs = jnp.asarray(m.dataset[0][0])[None]
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    bc = np.zeros((n, n, n))
+    bc[[0, -1]] = 1
+    bc[:, [0, -1]] = 1
+    bc[:, :, [0, -1]] = 1
+    b = jnp.where(jnp.asarray(bc) > 0.5, 0.0, b)
+    forcing = jnp.zeros((1, n, n, n, 1), jnp.float32)
+
+    def resfn(u):
+        return m.residual_for_field(u[None], inputs, forcing)[0] - b
+
+    M, info = multigrid_preconditioner(factory, n, nsd=3)
+    u, _ = solve_linear(resfn, (n, n, n), tol=1e-12, maxiter=10, M=M)
+    r = float(jnp.linalg.norm(resfn(u)) / jnp.linalg.norm(b))
+    assert r < 1e-4, r
