@@ -152,9 +152,12 @@ def main():
             pl.pallas_call = functools.partial(pl.pallas_call, interpret=True)
         Nf = jax.jit(lambda f: fem.galerkin_project(f, basis, "N", (n, n)))(
             f_gp)
+        # chained like every other variant — unchained repeats can be
+        # served from the relay result cache (traps 1/4, CLAUDE.md)
         pallas_fn = jax.jit(
-            lambda u, nu: poisson_residual_fused(u, nu, Nf, bc, basis))
-        t_pallas = _timeit(pallas_fn, u, nu, iters=10, warmup=2)
+            lambda u, nu: poisson_residual_fused(u, nu, Nf, bc, basis)
+            * 1e-6 + u)
+        t_pallas = _timeit_chained(pallas_fn, u, nu, iters=10, warmup=2)
 
     elems = bs * (n - 1) * (n - 1)
     evals_per_sec = elems / t_et

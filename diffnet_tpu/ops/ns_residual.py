@@ -59,7 +59,11 @@ def ns_vms_residual_xla(u, v, p, fx, fy, basis: FEMBasis, visco: float):
     calc_residuals`)."""
     n_shape = u.shape[-2:]
     hx, hy = basis.h
-    quants = ("N", "dx", "dy", "d2x", "d2y")
+    # deg-1 second derivatives are identically zero: skip their GP fields
+    # (this function is also the custom-VJP backward of the fused kernel,
+    # so the saving applies to every fused training step)
+    quants = (("N", "dx", "dy") if basis.deg == 1
+              else ("N", "dx", "dy", "d2x", "d2y"))
     stacked = jnp.stack([u, v, p], axis=0)
     allgp = fem.gp_eval_stacked(stacked, basis, quants)
     ug = {q: allgp[0, ..., i, :] for i, q in enumerate(quants)}
@@ -77,16 +81,19 @@ def ns_vms_residual_xla(u, v, p, fx, fy, basis: FEMBasis, visco: float):
     div = ux + vy
     adv1 = uN * ux + vN * uy
     adv2 = uN * vx + vN * vy
-    res1 = adv1 - visco * (ug["d2x"] + ug["d2y"]) + px - f1
-    res2 = adv2 - visco * (vg["d2x"] + vg["d2y"]) + py - f2
+    if basis.deg == 1:
+        lap1 = lap2 = 0.0
+    else:
+        lap1 = ug["d2x"] + ug["d2y"]
+        lap2 = vg["d2x"] + vg["d2y"]
+    res1 = adv1 - visco * lap1 + px - f1
+    res2 = adv2 - visco * lap2 + py - f2
 
-    ud = jax.lax.stop_gradient(uN)
-    vd = jax.lax.stop_gradient(vN)
-    Gxx, Gyy = 4.0 / hx**2, 4.0 / hy**2
-    temp = jnp.sqrt(Gxx * ud**2 + Gyy * vd**2
-                    + 36.0 * visco**2 * (Gxx**2 + Gyy**2))
-    taum = 1.0 / temp
-    tauc = temp / (Gxx + Gyy)
+    # one canonical copy of the stabilization physics (advection
+    # detached inside calc_tau)
+    from ..pde.flow import calc_tau
+
+    taum, tauc = calc_tau((hx, hy), uN, vN, visco)
 
     def asm(terms):
         return fem.galerkin_project_multi(terms, basis, n_shape)
@@ -135,10 +142,8 @@ def _kernel(u_hbm, v_hbm, p_hbm, fx_hbm, fy_hbm,
 
     e_row = (jax.lax.broadcasted_iota(jnp.int32, (TY + 1, nel), 0)
              + row0 - 1)
-    e_col = jax.lax.broadcasted_iota(jnp.int32, (TY + 1, nel), 1)
     dt = u_s.dtype
-    valid = (jnp.logical_and(e_row >= 0, e_row < nel)
-             & (e_col < nel)).astype(dt)
+    valid = jnp.logical_and(e_row >= 0, e_row < nel).astype(dt)
 
     Gxx, Gyy = 4.0 / hx**2, 4.0 / hy**2
     diff_part = 36.0 * visco**2 * (Gxx**2 + Gyy**2)
@@ -221,8 +226,9 @@ def _ns_fwd_impl(u, v, p, fx, fy, basis: FEMBasis, visco: float,
     fields = [u, v, p] + ([fx, fy] if has_f else [])
     padded = [jnp.pad(f, cfg) for f in fields]
     if not has_f:
-        # dummy 1-element operands keep the kernel signature static
-        dummy = jnp.zeros((B, pad_rows, CP), u.dtype)
+        # minimal dummy operands keep the kernel signature static; the
+        # kernel never DMAs from them when has_f is False
+        dummy = jnp.zeros((1, 1, 1), u.dtype)
         padded += [dummy, dummy]
     tables = _build_tables(basis)
 
@@ -255,6 +261,17 @@ def ns_vms_residual_fused(u, v, p, fx, fy, basis: FEMBasis, visco: float,
     Matches :func:`ns_vms_residual_xla` (and hence the production
     `StokesNSBase.calc_residuals` NS branch) to round-off; pinned by
     tests."""
+    for name, arr in (("v", v), ("p", p), ("fx", fx), ("fy", fy)):
+        if arr is not None and arr.shape != u.shape:
+            # XLA paths broadcast; the kernel DMAs by u's batch/rows and
+            # would read out of bounds
+            raise ValueError(f"{name}.shape {arr.shape} != u.shape "
+                             f"{u.shape} (the fused kernel does not "
+                             "broadcast)")
+    if not visco > 0.0:
+        # tau = 1/sqrt(...) is inf on the kernel's zero-padded halo rows
+        # at visco = 0, and inf * 0 masking turns boundary rows into NaN
+        raise ValueError(f"visco must be > 0, got {visco}")
     return _ns_fwd_impl(u, v, p, fx, fy, basis, visco, tile_y)
 
 

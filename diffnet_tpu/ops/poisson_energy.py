@@ -55,7 +55,7 @@ def _kernel(u_hbm, nu_hbm, f_hbm, out_ref, u_s, nu_s, f_s, sems,
     b = pl.program_id(0)
     t = pl.program_id(1)
 
-    # halo strip of TY+1 element rows needs TY+2 node rows starting at the
+    # strip of TY element rows needs TY+1 node rows starting at the
     # tile's first node row (no top halo: elements, unlike assembled nodes,
     # tile cleanly — element row r reads node rows [r, r+2))
     row0 = t * TY
@@ -141,6 +141,13 @@ def poisson_energy_fused(u, nu, f, basis: FEMBasis, tile_y: int = 128):
     Gauss points through the Q1 basis, exact to the same order as the field
     itself). Matches :func:`diffnet_tpu.pde.poisson.poisson_energy_loss` to
     round-off; pinned by tests."""
+    for name, arr in (("nu", nu), ("f", f)):
+        if arr.shape != u.shape:
+            # the XLA path broadcasts; the kernel DMAs by u's batch/rows
+            # and would read out of bounds on a smaller operand
+            raise ValueError(f"{name}.shape {arr.shape} != u.shape "
+                             f"{u.shape} (the fused kernel does not "
+                             "broadcast)")
     return _energy_fwd_impl(u, nu, f, basis, tile_y)
 
 

@@ -85,12 +85,12 @@ def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TY, n, nel):
     uc = corners(u[:, :nel + 1])
     nc = corners(nu[:, :nel + 1])
 
-    # mask element rows/cols whose global index is outside [0, nel)
+    # mask element ROWS whose global index is outside [0, nel); the
+    # column axis is already exactly nel wide (corners() slices to
+    # nel + 1 nodes), so no column mask is needed
     e_row = (jax.lax.broadcasted_iota(jnp.int32, (TY + 1, nel), 0)
              + row0 - 1)
-    e_col = jax.lax.broadcasted_iota(jnp.int32, (TY + 1, nel), 1)
-    valid = (jnp.logical_and(e_row >= 0, e_row < nel)
-             & (e_col < nel)).astype(u.dtype)
+    valid = jnp.logical_and(e_row >= 0, e_row < nel).astype(u.dtype)
 
     acc = [None, None, None, None]
     for g in range(4):
@@ -190,5 +190,8 @@ def poisson_residual_fused(u, nu, Nf, bc_mask, basis: FEMBasis,
     `Nf` is the preassembled load vector ∫ N_i f (constant during training;
     build once with ``fem.galerkin_project(f_gp, basis, "N", shape)``).
     Matches `poisson_resmin_residual` to round-off (pinned by tests)."""
+    if nu.shape != u.shape:
+        raise ValueError(f"nu.shape {nu.shape} != u.shape {u.shape} "
+                         "(the fused kernel does not broadcast)")
     R = poisson_stiffness_action(u, nu, basis, tile_y) - Nf
     return jnp.where(bc_mask > 0.5, jnp.zeros_like(R), R)

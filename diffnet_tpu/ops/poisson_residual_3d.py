@@ -180,5 +180,8 @@ def poisson_residual_fused_3d(u, nu, Nf, bc_mask, basis: FEMBasis,
     """Full assembled, Dirichlet-masked 3D residual R = K(nu) u - Nf
     (3D counterpart of :func:`diffnet_tpu.ops.poisson_residual.
     poisson_residual_fused`; `Nf` preassembled once)."""
+    if nu.shape != u.shape:
+        raise ValueError(f"nu.shape {nu.shape} != u.shape {u.shape} "
+                         "(the fused kernel does not broadcast)")
     R = poisson_stiffness_action_3d(u, nu, basis, tile_z) - Nf
     return jnp.where(bc_mask > 0.5, jnp.zeros_like(R), R)
