@@ -31,6 +31,9 @@ def main():
                         "backend has fewer)")
     p.add_argument("--out-dir", default="runs")
     args = p.parse_args()
+    if args.data_devices and args.batch_size % args.data_devices:
+        p.error(f"--batch-size {args.batch_size} must be divisible by "
+                f"--data-devices {args.data_devices} (data sharding)")
 
     if args.data_devices > 0:
         flags = os.environ.get("XLA_FLAGS", "")

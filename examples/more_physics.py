@@ -49,7 +49,7 @@ def main():
         st = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",
                      lbfgs_max_iter=10, run_dir=run_dir).fit(m)
         u = np.asarray(m.network.apply(st.params)[0])
-        eL2, _, uex = m.calc_l2_err(m.network.apply(st.params)[0])
+        eL2, _, uex = m.calc_l2_err(u)
         print(f"helmholtz rel_L2: {float(eL2/uex):.3e}")
 
     elif args.physics == "advdiff":

@@ -34,8 +34,10 @@ def main():
     n = args.domain_size
     run_dir = make_run_dir(args.out_dir, "poisson-3d")
     if args.voxel_prefix:
-        ds = VoxelIMBackRAW(args.voxel_prefix, domain_size=64)
-        n = 64
+        # reference embedding default is 64^3 (voxels.py); honor a LARGER
+        # explicit --domain-size, never silently shrink below it
+        n = max(args.domain_size, 64)
+        ds = VoxelIMBackRAW(args.voxel_prefix, domain_size=n)
         ds.n_samples = 1
         net = DirectField((n, n, n), init=np.zeros((n, n, n)))
         module = Poisson3D(net, ds, domain_size=n, batch_size=1,

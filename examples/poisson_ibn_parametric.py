@@ -65,12 +65,10 @@ def main():
 
     batch = jax.tree.map(jnp.asarray, next(iter(loader)))
     u, inputs, forcing = module.forward(state.params, batch)
-    u = np.asarray(jnp.where(
-        inputs[..., 1:2] > 0.5, 1.0,
-        jnp.where(inputs[..., 2:3] > 0.5, 0.0, u)))
+    u = np.asarray(module.apply_bcs(u, inputs))
     plot_contours(os.path.join(run_dir, "sample.png"),
                   {"chi": np.asarray(inputs[0, ..., 1]),
-                   "u": u[0, ..., 0]})
+                   "u": u[0]})  # apply_bcs squeezes the channel
     print(f"run_dir: {run_dir}")
 
 

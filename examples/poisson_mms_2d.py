@@ -49,6 +49,13 @@ def main():
     net = DirectField((n, n), init=np.zeros((n, n)))
     if args.loss_type == "strong" and args.fem_basis_deg < 2:
         args.fem_basis_deg = 2
+    if (n - 1) % args.fem_basis_deg:
+        n += args.fem_basis_deg - (n - 1) % args.fem_basis_deg
+        print(f"adjusted domain size to {n} "
+              f"((size-1) % deg == 0 required)")
+        ds = RectangleManufactured(domain_size=n)
+        ds.n_samples = 1
+        net = DirectField((n, n), init=np.zeros((n, n)))
     module = Poisson2D(net, ds, domain_size=n, batch_size=1,
                        fem_basis_deg=args.fem_basis_deg,
                        loss_type=args.loss_type, exact_solution=exact,
@@ -61,6 +68,9 @@ def main():
 
         M = None
         if args.optimizer == "mg-cg":
+            if (n - 1) & (n - 2):
+                p.error(f"--optimizer mg-cg needs a 2^k + 1 grid "
+                        f"(got {n}); try 65 or 129")
             def factory(nn_):
                 ds_ = RectangleManufactured(domain_size=nn_)
                 ds_.n_samples = 1

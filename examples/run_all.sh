@@ -14,7 +14,8 @@ time python examples/eikonal_reconstruction.py --domain-size 32 --max-epochs 150
 time python examples/poisson_ibn_parametric.py -b 16 --n-samples 32 --max-epochs 2 --out-dir "$OUT"
 time python examples/ibn_3d.py            --domain-size 16 --batch-size 4 --n-samples 8 --max-epochs 2 --out-dir "$OUT"
 time python examples/klsum_uq.py          --n-train 32 --n-query 64 --max-epochs 3 --out-dir "$OUT"
-time python examples/query_run.py         "$OUT"/klsum/version_0 --n-query 64
+QDIR=$(ls -d "$OUT"/klsum/version_* | sort -V | tail -1)  # latest run
+time python examples/query_run.py         "$QDIR" --n-query 64
 time python examples/multichip_scaling.py --devices 8 --data 4 --space 2 --domain-size 32 --batch-size 8 --steps 5
 
 for PHYS in helmholtz advdiff allen-cahn burgers fsdt topopt; do

@@ -143,8 +143,10 @@ def main():
                    "wall_sec": round(wall, 3), **metrics}
             rows.append(row)
             fields.append(mean)
-            np.save(os.path.join(run_dir, "q_mean.npy"), mean)
-            np.save(os.path.join(run_dir, "q_sdev.npy"), sdev)
+            if args.physics == "poisson-mms":
+                # klsum already saved q_mean/q_sdev via query_statistical;
+                # the raw field gets a non-misleading name
+                np.save(os.path.join(run_dir, "field.npy"), mean)
             print(json.dumps(row))
 
     # aggregate CSV (the run-mean-sdev.sh equivalent, minus the sed)
@@ -170,8 +172,12 @@ def main():
         import matplotlib.pyplot as plt
 
         metric = "rel_l2" if "rel_l2" in rows[0] else "final_loss"
-        xs = [r[args.param] for r in rows]
-        ys = [r[metric] for r in rows]
+        # aggregate per sweep value (repeats would zigzag an 'o-' line)
+        byv = {}
+        for r in rows:
+            byv.setdefault(r[args.param], []).append(r[metric])
+        xs = sorted(byv)
+        ys = [float(np.mean(byv[v])) for v in xs]
         fig, ax = plt.subplots(figsize=(5, 3.2))
         ax.loglog(xs, ys, "o-")
         ax.set_xlabel(args.param)
