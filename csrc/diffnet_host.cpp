@@ -19,8 +19,10 @@
 //
 // Build: g++ -O3 -fopenmp -shared -fPIC (driven by diffnet_tpu/utils/native.py).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <limits>
 #include <vector>
 
 #ifdef _OPENMP
@@ -38,7 +40,14 @@ void dn_kl_diffusivity_2d(const double* omega,   // [n_terms]
                           const double* coeffs,  // [B, n_terms]
                           int64_t B, int64_t n, int64_t n_terms,
                           float* out /* [B, n, n] */) {
-  if (n_terms > 16) return;  // row buffer bound below; callers pass <= 6
+  if (n_terms > 16) {
+    // row buffer bound below; callers pass <= 6. NaN-fill so a direct
+    // ctypes caller sees a loud failure, not uninitialized garbage
+    // (ADVICE r2); utils/native.py also asserts before the call.
+    const float nan = std::numeric_limits<float>::quiet_NaN();
+    std::fill(out, out + (size_t)B * n * n, nan);
+    return;
+  }
   std::vector<double> fx((size_t)n_terms * n);
   for (int64_t t = 0; t < n_terms; ++t) {
     const double w = omega[t];

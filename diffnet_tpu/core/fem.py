@@ -430,7 +430,14 @@ def _element_action_stencil(u, coeff, A, basis, node_shape, gp_terms=()):
                 r_a = term if r_a is None else r_a + term
         for (integrand, _), table in zip(gp_terms, term_tables):
             for g in range(table.shape[0]):
-                r_a = r_a + float(table[g, a]) * integrand[..., g]
+                term = float(table[g, a]) * integrand[..., g]
+                # r_a can still be None here when the A[:, a, :] row is
+                # entirely zero (not the case for the Poisson stiffness,
+                # but legal for other element tensors) — start the
+                # accumulation instead of adding to None (ADVICE r2)
+                r_a = term if r_a is None else r_a + term
+        if r_a is None:  # zero A-row and no gp_terms: nothing to scatter
+            continue
         # leading batch dims may have grown by broadcasting with gp_terms
         pad = [(0, 0)] * (r_a.ndim - nsd) + [
             (int(o), int(ns) - int(o) - ne)

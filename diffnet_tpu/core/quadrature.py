@@ -168,9 +168,18 @@ def make_basis(
         raise ValueError(f"nsd must be 1, 2, or 3, got {nsd}")
     if ngp_1d is None:
         ngp_1d = _default_ngp(deg)
-    # an explicit ngp_1d is honored as-is (reduced integration is a valid
-    # request — mass lumping, stabilized forms); it used to be silently
-    # clamped up to the degree default
+    elif ngp_1d < _default_ngp(deg):
+        # an explicit ngp_1d is honored as-is (reduced integration is a
+        # valid request — mass lumping, stabilized forms); it used to be
+        # silently clamped up to the degree default. Warn because the
+        # under-integrated stiffness is rank-deficient (hourglass modes)
+        # for resmin/energy losses (ADVICE r2).
+        import warnings
+        warnings.warn(
+            f"ngp_1d={ngp_1d} under-integrates deg={deg} (default "
+            f"{_default_ngp(deg)}): the stiffness operator is singular "
+            "(hourglass modes); intended only for reduced-integration "
+            "terms, not full resmin/energy losses", stacklevel=2)
 
     if np.isscalar(h):
         h = (float(h),) * nsd

@@ -41,15 +41,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_batch(batch: Any, mesh: Mesh, batch_size: int | None = None) -> Any:
     """device_put the batch with batch-axis sharding on 'data'.
 
     Only leaves whose axis 0 matches the batch size (taken from the first
-    array leaf) are split; scalars and shared per-sample arrays (masks,
-    coordinates) are replicated — splitting them row-wise would hand each
-    device the wrong rows, and a 0-d leaf would crash device_put."""
+    array leaf unless `batch_size` is passed explicitly) are split; scalars
+    and shared per-sample arrays (masks, coordinates) are replicated —
+    splitting them row-wise would hand each device the wrong rows, and a
+    0-d leaf would crash device_put.
+
+    Heuristic caveat (ADVICE r2): a shared per-sample array whose leading
+    axis COINCIDENTALLY equals the batch size (e.g. coords shaped [bs, 2])
+    would be row-split. Pass `batch_size` explicitly (or shape shared
+    leaves so axis 0 differs from the batch) when a batch can contain such
+    leaves."""
     leaves = [x for x in jax.tree.leaves(batch) if np.ndim(x) >= 1]
-    bs = np.shape(leaves[0])[0] if leaves else None
+    bs = (batch_size if batch_size is not None
+          else np.shape(leaves[0])[0] if leaves else None)
 
     def put(x):
         if np.ndim(x) >= 1 and np.shape(x)[0] == bs:

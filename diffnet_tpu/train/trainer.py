@@ -178,6 +178,21 @@ class TensorBoardLogger:
         self.writer.close()
 
 
+def _content_key(v):
+    """Content component of the jitted-step cache fingerprint for numpy
+    attrs (in-place mutation keeps id(); see Trainer.fit). Small arrays
+    are digested; large ones are frozen so `m.attr *= 0` raises instead
+    of silently hitting the cache."""
+    if isinstance(v, np.ndarray):
+        if v.nbytes <= 65536:
+            return np.ascontiguousarray(v).tobytes()
+        try:
+            v.flags.writeable = False
+        except ValueError:
+            pass  # view of an external buffer we can't freeze
+    return None
+
+
 def _make_optimizer(name_or_opt, learning_rate, lbfgs_max_iter,
                     lr_milestones=None, lr_gamma=0.1, steps_per_epoch=1):
     if isinstance(name_or_opt, optax.GradientTransformation) or (
@@ -337,6 +352,12 @@ class Trainer:
             state, batches, jnp.float32(0.5 ** self._nan_restores))
 
     # -- fit --------------------------------------------------------------
+    def invalidate_step_cache(self):
+        """Drop the cached jitted step so the next fit() re-traces the
+        module (use after mutating module state in ways the fingerprint
+        cannot see, e.g. in-place edits to large frozen arrays)."""
+        self._step_cache = None
+
     def fit(self, module, dataloader=None, params=None, val_dataloader=None,
             resume_from: str | None = None):
         """Train `module`. If `dataloader` is None, build one from
@@ -452,8 +473,14 @@ class Trainer:
             # m.u_bc = ...) changes an id and misses the cache, so mutated
             # constants are re-traced instead of silently reusing the old
             # jit-baked ones; holding the value refs keeps the ids unique.
+            # IN-PLACE numpy mutation (m.f_gp *= 0) keeps the id, so numpy
+            # attrs also get a content component: small arrays are digested,
+            # large ones are frozen (writeable=False) so mutation fails
+            # loudly instead of silently training against the stale
+            # jit-baked constant (ADVICE r2). jax arrays are immutable.
             attrs = tuple(sorted(vars(module).items(), key=lambda kv: kv[0]))
-            fp = (module, tuple((k, id(v)) for k, v in attrs),
+            fp = (module,
+                  tuple((k, id(v), _content_key(v)) for k, v in attrs),
                   tuple(v for _, v in attrs))
             ck = (str(self.optimizer_spec), lr, self.lbfgs_max_iter,
                   str(self.lr_milestones), self.lr_gamma, n_batches,

@@ -109,6 +109,7 @@ def kl_diffusivity_batch(coeffs, n: int, eta: float = 0.5,
             for c in c6]).astype(np.float32)
     omega = np.ascontiguousarray(
         calculate_omega_based_on_eta(float(eta))[:6], np.float64)
+    assert c6.shape[1] <= 16, "dn_kl_diffusivity_2d supports <= 16 terms"
     out = np.empty((B, n, n), np.float32)
     lib.dn_kl_diffusivity_2d(omega, float(eta), np.ascontiguousarray(c6),
                              B, n, 6, out)
