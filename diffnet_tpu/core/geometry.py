@@ -25,7 +25,9 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["winding_number_2d", "winding_number_3d", "occupancy_from_cloud",
-           "meshgrid_3d", "sample_ellipse_cloud", "sample_polygon_cloud"]
+           "occupancy_from_cloud_3d", "meshgrid_3d", "sample_ellipse_cloud",
+           "sample_polygon_cloud", "sample_sphere_cloud",
+           "cloud_from_voxels"]
 
 
 def winding_number_2d(points: jax.Array, normals: jax.Array, areas: jax.Array,
@@ -123,6 +125,93 @@ def sample_ellipse_cloud(n_points=120, center=(0.5, 0.5), radii=(0.25, 0.15),
     d = np.linalg.norm(np.roll(pts, -1, 0) - pts, axis=-1)
     areas = 0.5 * (d + np.roll(d, 1, 0))
     return pts.astype(np.float32), nrm.astype(np.float32), areas.astype(np.float32)
+
+
+def occupancy_from_cloud_3d(points, normals, areas, grid_shape,
+                            lengths=(1.0, 1.0, 1.0), threshold: float = 0.5,
+                            chunk: int = 2048):
+    """3D characteristic function chi on the node grid from an oriented
+    cloud via the generalized winding number (3D analogue of
+    :func:`occupancy_from_cloud`; reference computes per-node solid angles
+    the same way in the airfoil/3D IBN paths). Returns [B, nz, ny, nx]."""
+    nz, ny, nx = grid_shape
+    x = jnp.linspace(0, lengths[0], nx)
+    y = jnp.linspace(0, lengths[1], ny)
+    z = jnp.linspace(0, lengths[2], nz)
+    zz, yy, xx = jnp.meshgrid(z, y, x, indexing="ij")
+    q = jnp.stack([xx.reshape(-1), yy.reshape(-1), zz.reshape(-1)], axis=-1)
+    w = winding_number_3d(points, normals, areas, q, chunk=chunk)
+    chi = (w > threshold).astype(points.dtype)
+    return chi.reshape(points.shape[0], nz, ny, nx)
+
+
+def sample_sphere_cloud(n_points=2000, center=(0.5, 0.5, 0.5), radius=0.25,
+                        rng=None):
+    """Oriented surface cloud of a sphere (points, outward unit normals,
+    per-point area weights) — the reference's PC3D dataset synthesizes the
+    same cloud from random directions
+    (05_3d_sphere_loss4.py:82-97: randn / 4|v| + 0.5). Here a Fibonacci
+    sphere gives uniform coverage; areas sum to 4 pi r^2."""
+    if rng is not None:
+        # random directions, like the reference's PC3D
+        v = rng.standard_normal((n_points, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    else:
+        i = np.arange(n_points) + 0.5
+        phi = np.arccos(1 - 2 * i / n_points)
+        golden = np.pi * (1 + 5**0.5)
+        theta = golden * i
+        v = np.stack([np.cos(theta) * np.sin(phi),
+                      np.sin(theta) * np.sin(phi), np.cos(phi)], axis=-1)
+    pts = np.asarray(center) + radius * v
+    areas = np.full(n_points, 4 * np.pi * radius**2 / n_points)
+    return (pts.astype(np.float32), v.astype(np.float32),
+            areas.astype(np.float32))
+
+
+def cloud_from_voxels(vox, lengths=(1.0, 1.0, 1.0), max_points=None,
+                      rng=None):
+    """Oriented surface cloud from a [nz, ny, nx] binary voxel occupancy
+    (e.g. the stanford-bunny bunny_128_voxmodel.npz asset the reference
+    solves on, IBN/poisson-3d/non-parametric/solve_in_object_3d.py:193).
+
+    Surface voxels = occupied with at least one empty 6-neighbor. Point =
+    voxel center in physical coords; normal = negative smoothed occupancy
+    gradient (outward), unit; area = total surface-voxel face area split
+    evenly. Host-side numpy (dataset preprocessing)."""
+    vox = np.asarray(vox).astype(np.float32)
+    nz, ny, nx = vox.shape
+    pad = np.pad(vox, 1)
+    neigh_min = np.minimum.reduce([
+        pad[:-2, 1:-1, 1:-1], pad[2:, 1:-1, 1:-1], pad[1:-1, :-2, 1:-1],
+        pad[1:-1, 2:, 1:-1], pad[1:-1, 1:-1, :-2], pad[1:-1, 1:-1, 2:]])
+    surf = (vox > 0.5) & (neigh_min < 0.5)
+    iz, iy, ix = np.nonzero(surf)
+    n_surf_total = iz.size
+    if max_points is not None and iz.size > max_points:
+        sel = ((rng or np.random.default_rng(0))
+               .choice(iz.size, max_points, replace=False))
+        iz, iy, ix = iz[sel], iy[sel], ix[sel]
+    h = (lengths[0] / nx, lengths[1] / ny, lengths[2] / nz)
+    pts = np.stack([(ix + 0.5) * h[0], (iy + 0.5) * h[1],
+                    (iz + 0.5) * h[2]], axis=-1)
+    # outward normal: -grad of a box-smoothed occupancy at the surf voxels
+    from scipy import ndimage
+    sm = ndimage.uniform_filter(vox, size=3, mode="constant")
+    gz, gy, gx = np.gradient(sm)
+    nrm = -np.stack([gx[iz, iy, ix], gy[iz, iy, ix], gz[iz, iy, ix]],
+                    axis=-1)
+    mag = np.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = np.where(mag > 1e-8, nrm / np.maximum(mag, 1e-8), 0.0)
+    keep = np.linalg.norm(nrm, axis=-1) > 0.5
+    pts, nrm = pts[keep], nrm[keep]
+    # per-point quadrature weight: the TOTAL surface area (~ one face per
+    # surface voxel) split over the points actually kept — subsampling
+    # must NOT shrink the area sum or the winding-number integral (and
+    # hence the occupancy) collapses toward zero
+    total_area = n_surf_total * h[0] * h[1]
+    areas = np.full(len(pts), total_area / max(len(pts), 1), np.float32)
+    return pts.astype(np.float32), nrm.astype(np.float32), areas
 
 
 def sample_polygon_cloud(vertices, points_per_edge=30):

@@ -11,6 +11,7 @@ time python examples/poisson_3d.py        --domain-size 9  --max-epochs 30 --out
 time python examples/stokes_mms.py        --domain-size 32 --max-epochs 150 --out-dir "$OUT"
 time python examples/ns_ldc.py            --domain-size 32 --max-epochs 100 --out-dir "$OUT"
 time python examples/eikonal_reconstruction.py --domain-size 32 --max-epochs 150 --out-dir "$OUT"
+time python examples/eikonal_reconstruction.py --nsd 3 --domain-size 17 --max-epochs 60 --out-dir "$OUT"
 time python examples/poisson_ibn_parametric.py -b 16 --n-samples 32 --max-epochs 2 --out-dir "$OUT"
 time python examples/ibn_3d.py            --domain-size 16 --batch-size 4 --n-samples 8 --max-epochs 2 --out-dir "$OUT"
 time python examples/klsum_uq.py          --n-train 32 --n-query 64 --max-epochs 3 --out-dir "$OUT"

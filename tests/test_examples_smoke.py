@@ -39,6 +39,8 @@ def test_poisson_example_cli(tmp_path):
     ("stokes_mms.py", ["--domain-size", 12, "--max-epochs", 3]),
     ("ns_ldc.py", ["--domain-size", 12, "--max-epochs", 3]),
     ("eikonal_reconstruction.py", ["--domain-size", 16, "--max-epochs", 2]),
+    ("eikonal_reconstruction.py", ["--nsd", 3, "--domain-size", 9,
+                                   "--max-epochs", 2]),
     ("poisson_ibn_parametric.py", ["-b", 4, "--n-samples", 8,
                                    "--max-epochs", 1, "--domain-size", 16]),
     # 16^3: the UNet3D downsampling stack needs >= 16 voxels per axis
