@@ -117,9 +117,28 @@ def module_linear_solve(module, inputs_tensor=None, forcing_tensor=None,
     return np.asarray(u), info
 
 
+def _full_weight_halve(a, nsd):
+    """Full-weighting restriction of a nodal field to the node-aligned
+    half grid: [1/4, 1/2, 1/4] smoothing per axis (edge-replicated), then
+    stride-2 injection. numpy, host-side (MG setup only)."""
+    import numpy as np
+
+    a = np.asarray(a, np.float64)
+    for ax in range(a.ndim - nsd, a.ndim):
+        p = np.concatenate([np.take(a, [0], ax), a, np.take(a, [-1], ax)],
+                           axis=ax)
+        n_ = a.shape[ax]
+        a = (0.25 * np.take(p, range(0, n_), ax)
+             + 0.5 * np.take(p, range(1, n_ + 1), ax)
+             + 0.25 * np.take(p, range(2, n_ + 2), ax))
+    sl = tuple([slice(None)] * (a.ndim - nsd)
+               + [slice(None, None, 2)] * nsd)
+    return a[sl].astype(np.float32)
+
+
 def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
                              n_smooth: int = 3, inputs_per_level=None,
-                             nsd: int = 2):
+                             nsd: int = 2, coarse_op: str = "rediscretize"):
     """Matrix-free geometric-multigrid V-cycle preconditioner M ~ A^-1 for
     :func:`solve_linear` on node-aligned grid hierarchies (n = 2^k + 1).
 
@@ -134,6 +153,28 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
     module_factory(n) -> module exposing residual_for_field (the same
     factory contract as `continuation.coarse_to_fine`). Returns (M, info)
     where M maps a fine-grid field to the V-cycle estimate of A^-1 v.
+
+    Variable-coefficient problems (KL-sum nu etc.): the coarse operators
+    must see a CONSISTENT coefficient field, not each level's own
+    dataset draw. Two supported routes (VERDICT r2 item 6):
+      * inputs_per_level="restrict" — injection-restrict the FINE module's
+        (inputs, forcing) to every level (node-aligned halvings make the
+        coarse nodes a subset of the fine nodes); rediscretize with them.
+      * coarse_op="galerkin" — exact Galerkin coarse operators
+        A_l = R A_{l-1} P composed matrix-free through the level-above
+        operator. Spectrally exact for any coefficient roughness, but a
+        level-l matvec then costs a chain up to the finest grid — prefer
+        "rediscretize" + "restrict" unless the coefficient is too rough
+        to rediscretize.
+    inputs_per_level may also be a callable n -> (inputs, forcing) as
+    before; None keeps the per-level dataset behavior (constant-nu safe).
+
+    Depth note: with HIGH-CONTRAST coefficients the very coarse grids
+    (17^2/9^2) cannot represent the operator, and the rediscretized
+    V-cycle rate decays with hierarchy depth (measured 4e-6 -> 3e-3 rel
+    res at 12 MG-CG iters, 65^2 -> 257^2, 54x contrast, n_coarse=9).
+    Either stop earlier (n_coarse ~ 33 in 2D; the dense coarse solve is
+    still tiny) or use coarse_op="galerkin", which stays depth-robust.
     """
     import numpy as np
 
@@ -147,45 +188,125 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
             break
         ns.append(nxt)
 
-    ops, omegas = [], []
-    for n in ns:
-        m = module_factory(n)
-        if inputs_per_level is not None:
-            inputs, forcing = inputs_per_level(n)
+    if inputs_per_level == "restrict":
+        m_fine = module_factory(n_fine)
+        if m_fine.dataset is None:
+            raise ValueError("inputs_per_level='restrict' needs the fine "
+                             "module to own a dataset")
+        fine_inputs, fine_forcing = m_fine.dataset[0]
+        # recursive per-halving restriction: CONTINUOUS channels (nu and
+        # friends) get full-weighting ([1/4,1/2,1/4] per axis, then
+        # injection) — plain injection ALIASES the coefficient and the
+        # V-cycle rate degrades with depth (measured 3e-6 -> 2e-3 rel res
+        # at 12 MG-CG iters going 65^2 -> 257^2; Galerkin RAP stays flat,
+        # pinning the coarse-operator representation as the cause).
+        # BINARY channels (BC masks) are injected so boundary-node masks
+        # stay crisp {0,1} on every level.
+        levels_inputs = {ns[0]: (np.asarray(fine_inputs),
+                                 None if fine_forcing is None
+                                 else np.asarray(fine_forcing))}
+        is_binary = [bool(np.isin(np.unique(np.asarray(fine_inputs)[..., c]),
+                                  (0.0, 1.0)).all())
+                     for c in range(np.asarray(fine_inputs).shape[-1])]
+        for li in range(1, len(ns)):
+            prev_i, prev_f = levels_inputs[ns[li - 1]]
+            chans = [
+                prev_i[..., c][(slice(None, None, 2),) * nsd] if is_binary[c]
+                else _full_weight_halve(prev_i[..., c], nsd)
+                for c in range(prev_i.shape[-1])]
+            cur_i = np.stack(chans, axis=-1).astype(prev_i.dtype)
+            cur_f = (None if prev_f is None else np.stack(
+                [_full_weight_halve(prev_f[..., c], nsd)
+                 for c in range(prev_f.shape[-1])],
+                axis=-1).astype(prev_f.dtype))
+            levels_inputs[ns[li]] = (cur_i, cur_f)
+
+        def inputs_per_level(n, _levels=levels_inputs):
+            return _levels[n]
+
+    ops, omegas, invdiags = [], [], []
+    for li, n in enumerate(ns):
+        if coarse_op == "galerkin" and li > 0:
+            # A_l = P^T A_{l-1} P, matrix-free through the finer operator
+            fine_shape = (ns[li - 1],) * nsd
+            _, vjp = jax.vjp(
+                lambda c, fs=fine_shape: prolong_field(c, fs),
+                jnp.zeros((n,) * nsd, jnp.float32))
+
+            def A(u, A_prev=ops[-1], fs=fine_shape, vjp=vjp):
+                return vjp(A_prev(prolong_field(u, fs)))[0]
+
+            A = jax.jit(A)
         else:
-            inputs, forcing = m.dataset[0]
-        inputs = jnp.asarray(inputs)[None]
-        forcing = jnp.asarray(forcing)[None] if forcing is not None else None
+            m = module_factory(n)
+            if inputs_per_level is not None:
+                inputs, forcing = inputs_per_level(n)
+            else:
+                inputs, forcing = m.dataset[0]
+            inputs = jnp.asarray(inputs)[None]
+            forcing = (jnp.asarray(forcing)[None]
+                       if forcing is not None else None)
 
-        def res(u, m=m, inputs=inputs, forcing=forcing):
-            return m.residual_for_field(u[None], inputs, forcing)[0]
+            def res(u, m=m, inputs=inputs, forcing=forcing):
+                return m.residual_for_field(u[None], inputs, forcing)[0]
 
-        zero = jnp.zeros((n,) * nsd, jnp.float32)
-        b0 = res(zero)
+            zero = jnp.zeros((n,) * nsd, jnp.float32)
+            b0 = res(zero)
 
-        def A(u, res=res, b0=b0):
-            return res(u) - b0
+            def A(u, res=res, b0=b0):
+                return res(u) - b0
 
-        A = jax.jit(A)
-        # power iteration for ||A||_2 (A is symmetric for the Galerkin
-        # stiffness); 20 steps is plenty for a smoothing-step bound
+            A = jax.jit(A)
+        # damped-JACOBI smoothing: the exact operator diagonal captures the
+        # local coefficient scale, which plain Richardson cannot (a ~50x
+        # nu contrast stalled the V-cycle at ~0.5/iter). The diagonal is
+        # probed EXACTLY with 3^nsd coloring vectors: deg-1 stencils span
+        # 3 nodes per axis, so same-color nodes (stride 3) do not interact
+        # and one batched vmap dispatch recovers every diagonal entry.
+        # (Galerkin RAP of a 3^nsd stencil under linear transfers is again
+        # a 3^nsd stencil, so the coloring stays valid on coarse levels.)
+        probes, slices = [], []
+        for offs in np.ndindex(*((3,) * nsd)):
+            e = np.zeros((n,) * nsd, np.float32)
+            sl = tuple(slice(o, None, 3) for o in offs)
+            e[sl] = 1.0
+            probes.append(e)
+            slices.append(sl)
+        outs = jax.vmap(A)(jnp.asarray(np.stack(probes)))
+        diag = np.zeros((n,) * nsd, np.float32)
+        outs_np = np.asarray(outs)
+        for k, sl in enumerate(slices):
+            diag[sl] = outs_np[k][sl]
+        # Dirichlet rows are zeroed in the residual -> zero diagonal;
+        # their smoothed update must stay zero, so park a 1.0 there
+        invdiag = jnp.asarray(
+            np.where(np.abs(diag) > 1e-12, 1.0 / np.where(
+                np.abs(diag) > 1e-12, diag, 1.0), 1.0), jnp.float32)
+
+        def DinvA(u, A=A, invdiag=invdiag):
+            return invdiag * A(u)
+
+        # power iteration for ||D^-1 A||_2 to size the damping; 20 steps
+        # is plenty for a smoothing-step bound
         v = jnp.asarray(np.random.default_rng(0).random((n,) * nsd),
                         jnp.float32)
         for _ in range(20):
-            v = A(v)
+            v = DinvA(v)
             v = v / (jnp.linalg.norm(v) + 1e-30)
-        lam = float(jnp.vdot(v, A(v)))
+        lam = float(jnp.vdot(v, DinvA(v)) / (jnp.vdot(v, v) + 1e-30))
         ops.append(A)
+        invdiags.append(invdiag)
         omegas.append(0.8 / max(lam, 1e-30))
 
     # coarsest: dense pseudo-inverse by probing (Dirichlet rows are zero
-    # rows -> pinv leaves them at zero, which is exactly right)
+    # rows -> pinv leaves them at zero, which is exactly right). ONE
+    # batched vmap dispatch over the identity probes — the per-column
+    # device-call loop was ndof (=729 at 3D nc=9) separate round trips
     nc = ns[-1]
     ndof = nc ** nsd
-    eye = np.eye(ndof, dtype=np.float32)
-    cols = [np.asarray(ops[-1](jnp.asarray(
-        eye[i].reshape((nc,) * nsd)))).reshape(-1) for i in range(ndof)]
-    A0 = np.stack(cols, axis=1)
+    eye = jnp.eye(ndof, dtype=jnp.float32).reshape((ndof,) + (nc,) * nsd)
+    cols = np.asarray(jax.vmap(ops[-1])(eye)).reshape(ndof, ndof)
+    A0 = cols.T  # A0[:, i] = A e_i
     # rcond cuts the near-null modes from the Dirichlet rows: with a
     # nonzero level forcing the A = R(u) - R(0) cancellation leaves f32
     # noise (~1e-7) in the masked rows, and the DEFAULT pinv cutoff kept
@@ -193,16 +314,16 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
     # (the coarse grid's true cond is ~(n_coarse-1)^2, far above 1e-5)
     A0_pinv = jnp.asarray(np.linalg.pinv(A0, rcond=1e-5), jnp.float32)
 
-    def smooth(A, omega, u, b, k):
+    def smooth(A, omega, invdiag, u, b, k):
         for _ in range(k):
-            u = u + omega * (b - A(u))
+            u = u + omega * invdiag * (b - A(u))
         return u
 
     def vcycle(level, b):
-        A, omega = ops[level], omegas[level]
+        A, omega, invd = ops[level], omegas[level], invdiags[level]
         if level == len(ns) - 1:
             return (A0_pinv @ b.reshape(-1)).reshape(b.shape)
-        u = smooth(A, omega, jnp.zeros_like(b), b, n_smooth)
+        u = smooth(A, omega, invd, jnp.zeros_like(b), b, n_smooth)
         r = b - A(u)
         # restriction = exact adjoint of the node-aligned prolongation
         coarse_shape = (ns[level + 1],) * nsd
@@ -213,7 +334,7 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
         r_c = vjp(r)[0]
         e_c = vcycle(level + 1, r_c)
         u = u + prolong_field(e_c, fine_shape)
-        return smooth(A, omega, u, b, n_smooth)
+        return smooth(A, omega, invd, u, b, n_smooth)
 
     M = jax.jit(lambda v: vcycle(0, v))
     return M, {"levels": ns, "omegas": omegas}
