@@ -3,6 +3,8 @@ from .linear import (  # noqa: F401
     module_linear_solve,
     multigrid_preconditioner,
     solve_linear,
+    stokes_block_preconditioner,
+    stokes_linear_solve,
 )
 from .query import (  # noqa: F401
     calc_mean_stddev,

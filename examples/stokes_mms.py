@@ -18,6 +18,10 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--domain-size", type=int, default=32)
     p.add_argument("--max-epochs", type=int, default=300)
+    p.add_argument("--solver", choices=("lbfgs", "gmres"), default="lbfgs",
+                   help="lbfgs: reference-style residual-norm descent; "
+                        "gmres: block-preconditioned Krylov solve of the "
+                        "mixed system (train.linear.stokes_linear_solve)")
     p.add_argument("--out-dir", default="runs")
     args = p.parse_args()
 
@@ -38,14 +42,20 @@ def main():
         DirectField((n, n), init=np.zeros((n, n)), n_fields=3), ds, domain_size=n, batch_size=1, Re=1,
                        loss_norm="squared")
     run_dir = make_run_dir(args.out_dir, "stokes-mms")
-    trainer = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",
-                      lbfgs_max_iter=10, run_dir=run_dir, checkpoint=True)
-    state = trainer.fit(module)
-
     inputs = jnp.asarray(ds[0][0])[None]
-    u, v, pr = module.apply_bcs(module.network.apply(state.params, inputs),
-                                inputs)
-    u = np.asarray(u)[0]
+    if args.solver == "gmres":
+        from diffnet_tpu.train import stokes_linear_solve
+
+        (u, v_, p_), _ = stokes_linear_solve(module)
+        v, pr = v_[None], p_[None]
+    else:
+        trainer = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",
+                          lbfgs_max_iter=10, run_dir=run_dir,
+                          checkpoint=True)
+        state = trainer.fit(module)
+        u, v, pr = module.apply_bcs(
+            module.network.apply(state.params, inputs), inputs)
+        u = np.asarray(u)[0]
     jxw = module.jxw_c()
     ugp = module.gauss_pt_evaluation(jnp.asarray(u))
     ex = np.sin(math.pi * module.xgp) * np.cos(math.pi * module.ygp)

@@ -289,3 +289,31 @@ def test_multigrid_galerkin_coarse_ops():
     nu = _rough_nu(129)
     r = _mg_varnu_relres(129, nu, maxiter=12, coarse_op="galerkin")
     assert r < 1e-5, r
+
+
+def test_stokes_block_preconditioned_gmres():
+    """VERDICT r2 item 4: the PSPG Stokes mixed system solved directly by
+    block-preconditioned GMRES (MG on the momentum blocks + diagonal
+    PSPG-Schur on pressure) in ~tens of iterations — past the LBFGS
+    training ceiling (1.47e-3 u-error at 33^2 after 400 epochs,
+    CONVERGENCE.md) and at discretization-limited accuracy."""
+    from diffnet_tpu.data.flow import StokesMMSDataset
+    from diffnet_tpu.pde.flow import StokesMMS
+    from diffnet_tpu.train import stokes_linear_solve
+
+    errs = {}
+    for n in (33, 65):
+        ds = StokesMMSDataset(domain_size=n)
+        ds.n_samples = 1
+        m = StokesMMS(None, ds, domain_size=n, batch_size=1, Re=1)
+        (u, v, p), _ = stokes_linear_solve(m, maxiter=100)
+        errs[n] = [np.linalg.norm(f - ex) / np.linalg.norm(ex)
+                   for f, ex in ((u, m.u_exact), (v, m.v_exact),
+                                 (p, m.p_exact))]
+    for n, (eu, ev, ep) in errs.items():
+        assert eu < 6e-4 and ev < 6e-4, (n, errs)
+        assert ep < 3e-2, (n, errs)
+    # O(h^2) velocity decay 33 -> 65 (discretization-limited, not a
+    # solver floor): rate = log2(e33/e65)
+    rate = np.log2(errs[33][0] / errs[65][0])
+    assert rate > 1.7, (rate, errs)
