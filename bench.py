@@ -99,6 +99,21 @@ def main():
                                gp_terms=[(-f_gp, "N")])
         return jnp.where(bc > 0.5, 0.0, R)
 
+    # round 3: the HEADLINE iteration precomputes the nodal RHS Nf — the
+    # forcing projection is constant across solver iterations, and the
+    # REFERENCE itself precomputes it (Nf "precomputable RHS",
+    # e2_manufactured_resmin.py:270-271). Dropping the per-call f_gp read
+    # removes 4 element-grid channels (~133 MB at 512^2/bs32) from the
+    # per-iteration HBM traffic (VERDICT r2 item 1b). The f_gp-per-call
+    # variant stays as a supplementary key.
+    Nf_rhs = jax.jit(lambda f: fem.galerkin_project(f, basis, "N",
+                                                    (n, n)))(f_gp)
+
+    @jax.jit
+    def residual_et_nf(u, nu, Nf):
+        R = fem.element_action(u, nu, A, basis, (n, n)) - Nf
+        return jnp.where(bc > 0.5, 0.0, R)
+
     # reference-algorithm port: one conv per gauss point per quantity
     # (12 convs for dx/dy/N here), then the same projection/assembly
     tabs = {q: np.asarray(basis.tables[q], np.float32) for q in ("N", "dx", "dy")}
@@ -132,6 +147,7 @@ def main():
         # (see _timeit_chained); the extra axpy is negligible
         return jax.jit(lambda u, nu, f_gp: fn(u, nu, f_gp) * 1e-6 + u)
 
+    t_et_nf = _timeit_chained(chained(residual_et_nf), u, nu, Nf_rhs)
     t_et = _timeit_chained(chained(residual_et), u, nu, f_gp)
     t_fused = _timeit_chained(chained(residual_fused), u, nu, f_gp)
     t_ref = _timeit_chained(chained(residual_reference_style), u, nu, f_gp)
@@ -160,16 +176,18 @@ def main():
         t_pallas = _timeit_chained(pallas_fn, u, nu, iters=10, warmup=2)
 
     elems = bs * (n - 1) * (n - 1)
-    evals_per_sec = elems / t_et
+    evals_per_sec = elems / t_et_nf
     suffix = "" if dt == jnp.float32 else f"_{dt.name}"
     result = {
         "metric": "element_residual_evals_per_sec_512sq_poisson" + suffix,
         "value": float(f"{evals_per_sec:.4g}"),
         "unit": "elem/s",
-        "vs_baseline": float(f"{t_ref / t_et:.4g}"),
+        "vs_baseline": float(f"{t_ref / t_et_nf:.4g}"),
+        "elem_per_sec_gp_forcing": float(f"{elems / t_et:.4g}"),
         "gp_pipeline_elem_per_sec": float(f"{elems / t_fused:.4g}"),
         "batch": bs,
         "timing": "chained",
+        "rhs": "precomputed_nodal_Nf",
     }
     if t_pallas is not None:
         result["pallas_fused_elem_per_sec"] = float(
@@ -215,6 +233,8 @@ def main():
     print(json.dumps(result), flush=True)
     result.update(_run_tpu_phase("--bf16-only", timeout=240))
     print(json.dumps(result), flush=True)
+    result.update(_run_tpu_phase("--largegrid-only", timeout=300))
+    print(json.dumps(result), flush=True)
     # steps LAST (its hang degrades the relay for minutes — see module
     # docstring). Round-3 measurements isolated the wedge class: CONV-NET
     # training loops (AE/UNet forward+backward) hang the relay reliably —
@@ -228,6 +248,11 @@ def main():
     result.update(_run_tpu_phase("--steps-field-only", timeout=240))
     print(json.dumps(result), flush=True)
     result.update(_run_tpu_phase("--steps-only", timeout=420,
+                                 probe_timeout=90))
+    print(json.dumps(result), flush=True)
+    # VERY last: one compiled-Pallas attempt (known wedge trigger; every
+    # other metric is already banked when this fires)
+    result.update(_run_tpu_phase("--pallas-probe-only", timeout=240,
                                  probe_timeout=90))
     print(json.dumps(result), flush=True)
 
@@ -449,8 +474,162 @@ def _steps_field_fallback():
         u, opt_state, l = step(u, opt_state)
     _ = float(l)
     sps = iters / (time.perf_counter() - t0)
-    return {"train_steps_per_sec_field_fallback": float(f"{sps:.4g}"),
-            "steps_field_workload": "poisson64_direct_field_resmin_bs8"}
+    out = {"train_steps_per_sec_field_fallback": float(f"{sps:.4g}"),
+           "steps_field_workload": "poisson64_direct_field_resmin_bs8"}
+
+    # scanned-K A/B on the SAME (relay-safe, stencil-only) workload: K
+    # optimizer steps inside one lax.scan dispatch — the steps_per_call
+    # trainer feature's claimed TPU win (VERDICT r2 item 7). TPU-only:
+    # XLA:CPU runs scan bodies single-threaded.
+    import jax as _jax
+
+    if _jax.devices()[0].platform == "cpu":
+        return out
+    K = 10
+
+    @jax.jit
+    def stepK(u, opt_state):
+        def body(c, _):
+            uu, s = c
+            l, g = jax.value_and_grad(loss_fn)(uu)
+            updates, s = opt.update(g, s, uu)
+            return (optax.apply_updates(uu, updates), s), l
+
+        (uu, s), ls = jax.lax.scan(body, (u, opt_state), None, length=K)
+        return uu, s, ls[-1]
+
+    u, opt_state, l = stepK(u, opt_state)
+    _ = float(l)
+    reps = max(2, iters // K)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        u, opt_state, l = stepK(u, opt_state)
+    _ = float(l)
+    out["train_steps_per_sec_field_scan10"] = float(
+        f"{reps * K / (time.perf_counter() - t0):.4g}")
+    return out
+
+
+def _largegrid():
+    """Grid-scaling re-measure with the round-2+ methodology (chained
+    inputs + scalar readback + ET stencil path + precomputed Nf): 1024^2
+    and 2048^2 2D, 128^3 3D. The round-1 flatness table predates the
+    chained methodology (VERDICT r2 item 8). Flat elem/s across sizes =
+    HBM-bandwidth-bound as designed; a drop pinpoints layout/tiling work."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffnet_tpu.core import fem
+    from diffnet_tpu.core.quadrature import make_basis
+
+    out = {}
+    for n, bs in ((1024, 8), (2048, 2)):
+        h = 1.0 / (n - 1)
+        basis = make_basis(2, 1, h=(h, h))
+        A = fem.element_tensor(basis, ("dx", "dy"))
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
+        nu = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
+        Nf = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
+        bc = jnp.zeros((n, n)).at[0, :].set(1.0).at[-1, :].set(1.0)
+
+        @jax.jit
+        def step(u, nu, Nf, A=A, basis=basis, n=n, bc=bc):
+            R = fem.element_action(u, nu, A, basis, (n, n)) - Nf
+            return jnp.where(bc > 0.5, 0.0, R) * 1e-6 + u
+
+        r = u
+        for _ in range(3):
+            r = step(r, nu, Nf)
+        _ = float(jnp.sum(r))
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = step(r, nu, Nf)
+        _ = float(jnp.sum(r))
+        t = (time.perf_counter() - t0) / iters
+        out[f"elem_per_sec_{n}sq"] = float(f"{bs * (n-1)**2 / t:.4g}")
+
+    # 3D 128^3 (GP pipeline — the production 3D path)
+    n, bs = 128, 1
+    h = 1.0 / (n - 1)
+    basis = make_basis(3, 1, h=(h, h, h))
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random((bs, n, n, n)), jnp.float32)
+    nu = jnp.asarray(rng.random((bs, n, n, n)), jnp.float32)
+    Nf = jnp.asarray(rng.random((bs, n, n, n)), jnp.float32)
+    bc = jnp.zeros((n, n, n)).at[0].set(1.0).at[-1].set(1.0)
+
+    @jax.jit
+    def step3(u, nu, Nf):
+        gp = fem.gp_eval(u, basis, ("dx", "dy", "dz"))
+        nu_gp = fem.gp_eval(nu, basis, ("N",))["N"]
+        R = fem.galerkin_project_multi(
+            [(nu_gp * gp["dx"], "dx"), (nu_gp * gp["dy"], "dy"),
+             (nu_gp * gp["dz"], "dz")], basis, (n, n, n)) - Nf
+        return jnp.where(bc > 0.5, 0.0, R) * 1e-6 + u
+
+    r = u
+    for _ in range(3):
+        r = step3(r, nu, Nf)
+    _ = float(jnp.sum(r))
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = step3(r, nu, Nf)
+    _ = float(jnp.sum(r))
+    t = (time.perf_counter() - t0) / iters
+    out["elem_per_sec_3d_128"] = float(f"{bs * (n-1)**3 / t:.4g}")
+    return out
+
+
+def _pallas_probe():
+    """ONE watchdogged compiled-Pallas attempt (VERDICT r2 item 1a): the
+    fused Poisson residual kernel, first on a tiny 64^2 grid; only if that
+    returns, scale to the 512^2 headline shape. Runs LAST in the phase
+    chain — compiled Pallas launches are a known relay-wedge trigger on
+    this image (CLAUDE.md), and the subprocess timeout contains the hang."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffnet_tpu.core import fem
+    from diffnet_tpu.core.quadrature import make_basis
+    from diffnet_tpu.ops import poisson_residual_fused
+
+    if jax.devices()[0].platform == "cpu":
+        # correctness-only on CPU (interpret mode); perf numbers are
+        # meaningful on the TPU only
+        import functools
+
+        from jax.experimental import pallas as pl
+
+        pl.pallas_call = functools.partial(pl.pallas_call, interpret=True)
+
+    out = {}
+    for n, bs, iters in ((64, 4, 5), (512, 32, 10)):
+        h = 1.0 / (n - 1)
+        basis = make_basis(2, 1, h=(h, h))
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
+        nu = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
+        f_gp = jnp.asarray(rng.random((bs, n-1, n-1, 4)), jnp.float32)
+        bc = jnp.zeros((n, n)).at[0, :].set(1.0).at[-1, :].set(1.0)
+        Nf = jax.jit(lambda f: fem.galerkin_project(
+            f, basis, "N", (n, n)))(f_gp)
+        fn = jax.jit(lambda u, nu, Nf=Nf, bc=bc, basis=basis:
+                     poisson_residual_fused(u, nu, Nf, bc, basis)
+                     * 1e-6 + u)
+        r = fn(u, nu)
+        _ = float(jnp.sum(r))  # compile + execute + readback
+        out[f"pallas_probe_{n}_ok"] = True
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(r, nu)
+        _ = float(jnp.sum(r))
+        t = (time.perf_counter() - t0) / iters
+        out[f"pallas_fused_elem_per_sec_{n}sq"] = float(
+            f"{bs * (n-1)**2 / t:.4g}")
+    return out
 
 
 def _final_l2():
@@ -668,6 +847,10 @@ if __name__ == "__main__":
         print(json.dumps(_steps_fallback()), flush=True)
     elif "--steps-field-only" in sys.argv:
         print(json.dumps(_steps_field_fallback()), flush=True)
+    elif "--largegrid-only" in sys.argv:
+        print(json.dumps(_largegrid()), flush=True)
+    elif "--pallas-probe-only" in sys.argv:
+        print(json.dumps(_pallas_probe()), flush=True)
     elif "--ns-only" in sys.argv:
         print(json.dumps(_ns_throughput()), flush=True)
     elif "--p3d-only" in sys.argv:
