@@ -203,23 +203,31 @@ class StokesNSBase(FEM2DModule):
         the NS residual is quadratic (use Picard/continuation there)."""
         if self.eq_type != "stokes":
             raise ValueError(
-                "residual_for_field is the linear-solver hook; the "
+                "residual_for_field is the AFFINE linear-solver hook; the "
                 f"eq_type={self.eq_type!r} residual is nonlinear in the "
-                "fields — use the training path or Picard iteration")
-        # PRESSURE GAUGE: the training path controls the constant pressure
-        # mode by pinning one corner node (bc3 substitution + row mask,
-        # reference e1_stokes_mms_resmin.py). Through the masked system
-        # that control is O(h^2)-weak — the "constant except a dent at the
-        # pin" vector is a near-null mode, and an f32-floor Krylov
-        # residual admits an O(0.2) constant drift in p (measured). For
-        # the linear solve the pin is REMOVED from the operator (bc3
-        # channel zeroed) and replaced by a rank-one mean-control term
-        #     R_p += s * mean(p) * 1,  s ~ the pressure-block diagonal,
-        # which anchors the constant mode at O(1) preconditioned strength
-        # with no dent. Callers restore the reference gauge afterwards by
-        # a pure-constant shift to the pinned value (a constant is exactly
-        # null for every other equation on the Dirichlet-masked system);
-        # :func:`train.linear.stokes_linear_solve` does both steps.
+                "fields — use train.linear.ns_newton_solve (Newton-Krylov "
+                "over mixed_residual) or the training path")
+        return self.mixed_residual(fields, inputs_tensor, forcing_tensor)
+
+    def mixed_residual(self, fields, inputs_tensor, forcing_tensor):
+        """Gauge-controlled mixed residual {'u','v','p'} -> {'u','v','p'}
+        for the solver paths (Krylov on Stokes; Newton-Krylov on NS).
+
+        PRESSURE GAUGE: the training path controls the constant pressure
+        mode by pinning one corner node (bc3 substitution + row mask,
+        reference e1_stokes_mms_resmin.py). Through the masked system
+        that control is O(h^2)-weak — the "constant except a dent at the
+        pin" vector is a near-null mode, and an f32-floor Krylov
+        residual admits an O(0.2) constant drift in p (measured). For
+        the solver paths the pin is REMOVED from the operator (bc3
+        channel zeroed) and replaced by a rank-one mean-control term
+            R_p += s * mean(p) * 1,  s ~ the pressure-block diagonal,
+        which anchors the constant mode at O(1) preconditioned strength
+        with no dent. Callers restore the reference gauge afterwards by
+        a pure-constant shift to the pinned value (a constant is exactly
+        null for every other equation on the Dirichlet-masked system);
+        :func:`train.linear.stokes_linear_solve` /
+        :func:`train.linear.ns_newton_solve` do both steps."""
         inputs_nopin = jnp.asarray(inputs_tensor).at[..., 4].set(0.0)
         R1, R2, R3 = self.calc_residuals(
             (fields["u"], fields["v"], fields["p"]),

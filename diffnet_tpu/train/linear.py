@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["solve_linear", "module_linear_solve", "multigrid_preconditioner",
-           "stokes_block_preconditioner", "stokes_linear_solve"]
+           "ns_newton_solve", "stokes_block_preconditioner",
+           "stokes_linear_solve"]
 
 
 def solve_linear(residual_fn: Callable, shape, method: str = "cg",
@@ -427,9 +428,12 @@ def stokes_block_preconditioner(module, inputs_tensor=None, n_coarse=9,
     from ..core import fem
     from ..pde.poisson import Poisson2D
 
-    if getattr(module, "eq_type", None) != "stokes":
-        raise ValueError("stokes_block_preconditioner expects a Stokes "
-                         "module (eq_type='stokes')")
+    if getattr(module, "eq_type", None) not in ("stokes", "ns"):
+        raise ValueError("stokes_block_preconditioner expects a mixed-"
+                         "system flow module (eq_type 'stokes' or 'ns'; "
+                         "for 'ns' it preconditions the Newton/Oseen "
+                         "Jacobian — viscous MG + PSPG-Schur stays a "
+                         "sound surrogate at moderate cell Reynolds)")
     if inputs_tensor is None:
         inputs_tensor, _ = module.dataset[0]
     inputs = np.asarray(inputs_tensor)
@@ -526,6 +530,87 @@ def stokes_linear_solve(module, inputs_tensor=None, tol=1e-6, maxiter=100,
         # mean-free interior + pinned values: shift interior so it meets
         # the pin's gauge (use the pre-substitution solution at the pins)
         sol_p = np.asarray(sol["p"])
+        offset = float((p_bc[bc3] - sol_p[bc3]).mean())
+        p = np.where(bc3, p, p + offset)
+    return (u, v, p), info
+
+
+def ns_newton_solve(module, inputs_tensor=None, newton_iters=20,
+                    tol=1e-6, gmres_iters=40, restart=10, n_coarse=9,
+                    n_smooth=3, x0=None, verbose=False):
+    """Newton-Krylov solve of the full-VMS Navier-Stokes mixed system.
+
+    TPU-idiomatic Jacobian-free Newton: the Jacobian-vector product of
+    the module's own fused VMS residual (13 GP quantities, cross /
+    Reynolds / PSPG terms — pde/flow.py::calc_residuals) is ONE
+    ``jax.jvp`` through the assembly, solved with block-preconditioned
+    GMRES (:func:`stokes_block_preconditioner` — viscous MG + PSPG-Schur,
+    a sound Oseen surrogate at moderate Re) and a backtracking line
+    search. Replaces the reference's ~1000-epoch per-field Adam/LBFGS
+    training loop for steady problems (e1_ns_ldc_resmin.py:432-447).
+
+    Returns ((u, v, p) nodal numpy fields, info dict with the residual
+    history). Start from rest (x0=None) for moderate Re; warm-start from
+    a coarse solve or lower Re (continuation) for harder cases.
+    """
+    import numpy as np
+
+    if inputs_tensor is None:
+        inputs_tensor, _ = module.dataset[0]
+    inputs = jnp.asarray(inputs_tensor)[None]
+    n_shape = module.node_shape
+
+    def F(fields):
+        f = {k: v[None] for k, v in fields.items()}
+        R = module.mixed_residual(f, inputs, None)
+        return {k: v[0] for k, v in R.items()}
+
+    def tnorm(t):
+        return float(jnp.sqrt(sum(jnp.sum(x * x)
+                                  for x in jax.tree.leaves(t))))
+
+    M = stokes_block_preconditioner(module, inputs_tensor=inputs_tensor,
+                                    n_coarse=n_coarse, n_smooth=n_smooth)
+    x = x0 or {k: jnp.zeros(n_shape, jnp.float32) for k in ("u", "v", "p")}
+    F_jit = jax.jit(F)
+    hist = []
+    Fx = F_jit(x)
+    for it in range(newton_iters):
+        n0 = tnorm(Fx)
+        hist.append(n0)
+        if verbose:
+            print(f"newton {it}: |F| = {n0:.3e}")
+        if n0 < tol:
+            break
+
+        def Jv(v, x=x):
+            return jax.jvp(F, (x,), (v,))[1]
+
+        neg = jax.tree.map(jnp.negative, Fx)
+        dx, _ = jax.scipy.sparse.linalg.gmres(
+            jax.jit(Jv), neg, M=M, tol=1e-4, maxiter=gmres_iters,
+            restart=restart, solve_method="batched")
+        # backtracking line search on |F|
+        alpha = 1.0
+        for _ in range(8):
+            x_try = jax.tree.map(lambda a, d: a + alpha * d, x, dx)
+            F_try = F_jit(x_try)
+            if tnorm(F_try) < (1.0 - 1e-4 * alpha) * n0:
+                x, Fx = x_try, F_try
+                break
+            alpha *= 0.5
+        else:
+            hist.append(tnorm(Fx))
+            break  # no descent direction — return best iterate
+    info = {"residual_history": hist, "newton_iters": len(hist) - 1}
+
+    u, v, p = module.apply_bcs(
+        (x["u"][None], x["v"][None], x["p"][None]), inputs)
+    u, v, p = np.asarray(u[0]), np.asarray(v[0]), np.asarray(p[0])
+    bc3 = np.asarray(inputs_tensor)[..., 4] > 0.5
+    if bc3.any():
+        p_bc = np.broadcast_to(np.asarray(module.p_bc), p.shape)
+        sol_p = np.asarray(x["p"])
         offset = float((p_bc[bc3] - sol_p[bc3]).mean())
         p = np.where(bc3, p, p + offset)
     return (u, v, p), info

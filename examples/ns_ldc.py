@@ -18,6 +18,11 @@ def main():
     p.add_argument("--domain-size", type=int, default=32)
     p.add_argument("--re", type=float, default=100)
     p.add_argument("--max-epochs", type=int, default=200)
+    p.add_argument("--solver", choices=("lbfgs", "newton"), default="lbfgs",
+                   help="lbfgs: reference-style residual-norm descent; "
+                        "newton: Newton-Krylov on the full VMS system "
+                        "(train.linear.ns_newton_solve — quadratic "
+                        "convergence, ~4 iterations at Re=100)")
     p.add_argument("--out-dir", default="runs")
     args = p.parse_args()
 
@@ -40,14 +45,21 @@ def main():
                           Re=args.re, u_bc=u_bc, v_bc=v_bc, p_bc=p_bc,
                           loss_norm="squared")
     run_dir = make_run_dir(args.out_dir, f"ns-ldc-re{int(args.re)}")
-    trainer = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",
-                      lbfgs_max_iter=10, run_dir=run_dir, checkpoint=True)
-    state = trainer.fit(module)
-
     inputs = jnp.asarray(ds[0][0])[None]
-    u, v, pr = module.apply_bcs(module.network.apply(state.params, inputs),
-                                inputs)
-    u, v, pr = (np.asarray(a)[0] for a in (u, v, pr))
+    if args.solver == "newton":
+        from diffnet_tpu.train import ns_newton_solve
+
+        (u, v, pr), info = ns_newton_solve(module)
+        print(f"newton iters: {info['newton_iters']}  "
+              f"|F|: {info['residual_history'][-1]:.3e}")
+    else:
+        trainer = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",
+                          lbfgs_max_iter=10, run_dir=run_dir,
+                          checkpoint=True)
+        state = trainer.fit(module)
+        u, v, pr = module.apply_bcs(
+            module.network.apply(state.params, inputs), inputs)
+        u, v, pr = (np.asarray(a)[0] for a in (u, v, pr))
     plot_contours(os.path.join(run_dir, "fields.png"),
                   {"u": u, "v": v, "p": pr})
     # midline cuts (the reference's comparison format,
