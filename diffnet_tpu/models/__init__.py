@@ -1,4 +1,5 @@
 from .field import DirectField  # noqa: F401
+from .torch_import import load_pretrained_ae  # noqa: F401
 from .networks import (  # noqa: F401
     AE,
     VAE,

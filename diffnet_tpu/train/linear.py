@@ -550,8 +550,15 @@ def ns_newton_solve(module, inputs_tensor=None, newton_iters=20,
     training loop for steady problems (e1_ns_ldc_resmin.py:432-447).
 
     Returns ((u, v, p) nodal numpy fields, info dict with the residual
-    history). Start from rest (x0=None) for moderate Re; warm-start from
-    a coarse solve or lower Re (continuation) for harder cases.
+    history). Start from rest (x0=None) for moderate Re.
+
+    Scope: quadratic convergence demonstrated to Re ~ 100 (the reference's
+    own LDC config, 4 iterations to |F| ~ 5e-8 at 48^2). At Re >= 400 the
+    viscous-MG momentum preconditioner ignores the now-dominant advection
+    and the inexact-Newton directions degrade (measured stall at
+    |F| ~ 2e-3 with a 40-iteration inner budget); an advection-aware
+    momentum smoother or pseudo-transient continuation is the known
+    remedy and is left as future work.
     """
     import numpy as np
 

@@ -9,7 +9,9 @@ OUT="${OUT:-runs}"
 time python examples/poisson_mms_2d.py    --domain-size 32 --max-epochs 40 --out-dir "$OUT"
 time python examples/poisson_3d.py        --domain-size 9  --max-epochs 30 --out-dir "$OUT"
 time python examples/stokes_mms.py        --domain-size 32 --max-epochs 150 --out-dir "$OUT"
+time python examples/stokes_mms.py        --domain-size 33 --solver gmres --out-dir "$OUT"
 time python examples/ns_ldc.py            --domain-size 32 --max-epochs 100 --out-dir "$OUT"
+time python examples/ns_ldc.py            --domain-size 33 --solver newton --out-dir "$OUT"
 time python examples/eikonal_reconstruction.py --domain-size 32 --max-epochs 150 --out-dir "$OUT"
 time python examples/eikonal_reconstruction.py --nsd 3 --domain-size 17 --max-epochs 60 --out-dir "$OUT"
 time python examples/poisson_ibn_parametric.py -b 16 --n-samples 32 --max-epochs 2 --out-dir "$OUT"
