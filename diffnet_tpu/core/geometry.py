@@ -185,9 +185,20 @@ def cloud_from_voxels(vox, lengths=(1.0, 1.0, 1.0), max_points=None,
     neigh_min = np.minimum.reduce([
         pad[:-2, 1:-1, 1:-1], pad[2:, 1:-1, 1:-1], pad[1:-1, :-2, 1:-1],
         pad[1:-1, 2:, 1:-1], pad[1:-1, 1:-1, :-2], pad[1:-1, 1:-1, 2:]])
-    surf = (vox > 0.5) & (neigh_min < 0.5)
+    occ = vox > 0.5
+    empty = ~np.pad(occ, 1)
+    # exposed-face counts per direction (for the area integral below:
+    # x-faces have area hy*hz, y-faces hx*hz, z-faces hx*hy — using one
+    # face area for all orientations mis-scales the winding integral by
+    # up to hz/hx on anisotropic grids)
+    fz = (empty[:-2, 1:-1, 1:-1] & occ).sum() + (empty[2:, 1:-1, 1:-1]
+                                                 & occ).sum()
+    fy = (empty[1:-1, :-2, 1:-1] & occ).sum() + (empty[1:-1, 2:, 1:-1]
+                                                 & occ).sum()
+    fx = (empty[1:-1, 1:-1, :-2] & occ).sum() + (empty[1:-1, 1:-1, 2:]
+                                                 & occ).sum()
+    surf = occ & (neigh_min < 0.5)
     iz, iy, ix = np.nonzero(surf)
-    n_surf_total = iz.size
     if max_points is not None and iz.size > max_points:
         sel = ((rng or np.random.default_rng(0))
                .choice(iz.size, max_points, replace=False))
@@ -205,11 +216,12 @@ def cloud_from_voxels(vox, lengths=(1.0, 1.0, 1.0), max_points=None,
     nrm = np.where(mag > 1e-8, nrm / np.maximum(mag, 1e-8), 0.0)
     keep = np.linalg.norm(nrm, axis=-1) > 0.5
     pts, nrm = pts[keep], nrm[keep]
-    # per-point quadrature weight: the TOTAL surface area (~ one face per
-    # surface voxel) split over the points actually kept — subsampling
-    # must NOT shrink the area sum or the winding-number integral (and
-    # hence the occupancy) collapses toward zero
-    total_area = n_surf_total * h[0] * h[1]
+    # per-point quadrature weight: the TOTAL exposed-face area (counted
+    # per orientation with the correct face area) split over the points
+    # actually kept — subsampling must NOT shrink the area sum or the
+    # winding-number integral (and hence the occupancy) collapses
+    # toward zero
+    total_area = (fx * h[1] * h[2] + fy * h[0] * h[2] + fz * h[0] * h[1])
     areas = np.full(len(pts), total_area / max(len(pts), 1), np.float32)
     return pts.astype(np.float32), nrm.astype(np.float32), areas
 

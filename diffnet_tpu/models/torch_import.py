@@ -43,8 +43,9 @@ def _convT(w, b):
 def torch_state_dict_to_ae_params(sd):
     """Map the reference AE state_dict to flax ``AE`` params.
 
-    Returns (params, config) where config = dict(out_channels, dims,
-    n_downsample) to construct the matching ``AE``.
+    Returns (params, config, in_channels) where config =
+    dict(out_channels, dims, n_downsample) constructs the matching
+    ``AE`` and in_channels is the expected input channel count.
     """
     sd = {k: np.asarray(v) for k, v in sd.items()}
     enc = sorted((k for k in sd if k.startswith("encoder.")

@@ -580,36 +580,49 @@ def ns_newton_solve(module, inputs_tensor=None, newton_iters=20,
                                     n_coarse=n_coarse, n_smooth=n_smooth)
     x = x0 or {k: jnp.zeros(n_shape, jnp.float32) for k in ("u", "v", "p")}
     F_jit = jax.jit(F)
+
+    # ONE jitted Newton-direction function with x as an OPERAND (a fresh
+    # per-iteration closure would retrace + recompile the 13-GP-quantity
+    # VMS jvp and the gmres loop machinery every Newton step)
+    @jax.jit
+    def newton_dir(x, Fx):
+        def Jv(v):
+            return jax.jvp(F, (x,), (v,))[1]
+
+        neg = jax.tree.map(jnp.negative, Fx)
+        dx, _ = jax.scipy.sparse.linalg.gmres(
+            Jv, neg, M=M, tol=1e-4, maxiter=gmres_iters,
+            restart=restart, solve_method="batched")
+        return dx
+
     hist = []
     Fx = F_jit(x)
+    n0 = tnorm(Fx)
+    newton_done = 0
     for it in range(newton_iters):
-        n0 = tnorm(Fx)
         hist.append(n0)
         if verbose:
             print(f"newton {it}: |F| = {n0:.3e}")
         if n0 < tol:
             break
-
-        def Jv(v, x=x):
-            return jax.jvp(F, (x,), (v,))[1]
-
-        neg = jax.tree.map(jnp.negative, Fx)
-        dx, _ = jax.scipy.sparse.linalg.gmres(
-            jax.jit(Jv), neg, M=M, tol=1e-4, maxiter=gmres_iters,
-            restart=restart, solve_method="batched")
+        dx = newton_dir(x, Fx)
         # backtracking line search on |F|
         alpha = 1.0
         for _ in range(8):
             x_try = jax.tree.map(lambda a, d: a + alpha * d, x, dx)
             F_try = F_jit(x_try)
-            if tnorm(F_try) < (1.0 - 1e-4 * alpha) * n0:
-                x, Fx = x_try, F_try
+            n_try = tnorm(F_try)
+            if n_try < (1.0 - 1e-4 * alpha) * n0:
+                x, Fx, n0 = x_try, F_try, n_try
+                newton_done += 1
                 break
             alpha *= 0.5
         else:
-            hist.append(tnorm(Fx))
             break  # no descent direction — return best iterate
-    info = {"residual_history": hist, "newton_iters": len(hist) - 1}
+    else:
+        # budget exhausted: record the residual of the RETURNED iterate
+        hist.append(n0)
+    info = {"residual_history": hist, "newton_iters": newton_done}
 
     u, v, p = module.apply_bcs(
         (x["u"][None], x["v"][None], x["p"][None]), inputs)

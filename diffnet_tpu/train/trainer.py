@@ -178,16 +178,21 @@ class TensorBoardLogger:
         self.writer.close()
 
 
-def _content_key(v):
+def _content_key(v, frozen=None):
     """Content component of the jitted-step cache fingerprint for numpy
     attrs (in-place mutation keeps id(); see Trainer.fit). Small arrays
     are digested; large ones are frozen so `m.attr *= 0` raises instead
-    of silently hitting the cache."""
+    of silently hitting the cache (note the freeze is visible to any
+    other holder of the same buffer). Frozen arrays are recorded in
+    `frozen` so :meth:`Trainer.invalidate_step_cache` can thaw them."""
     if isinstance(v, np.ndarray):
         if v.nbytes <= 65536:
             return np.ascontiguousarray(v).tobytes()
         try:
-            v.flags.writeable = False
+            if v.flags.writeable:
+                v.flags.writeable = False
+                if frozen is not None:
+                    frozen.append(v)
         except ValueError:
             pass  # view of an external buffer we can't freeze
     return None
@@ -354,9 +359,16 @@ class Trainer:
     # -- fit --------------------------------------------------------------
     def invalidate_step_cache(self):
         """Drop the cached jitted step so the next fit() re-traces the
-        module (use after mutating module state in ways the fingerprint
-        cannot see, e.g. in-place edits to large frozen arrays)."""
+        module, and THAW the large numpy attrs the fingerprint froze —
+        after this, in-place edits work again and the next fit()
+        re-fingerprints (and re-freezes) the current contents."""
         self._step_cache = None
+        for arr in getattr(self, "_frozen_attrs", []):
+            try:
+                arr.flags.writeable = True
+            except ValueError:
+                pass
+        self._frozen_attrs = []
 
     def fit(self, module, dataloader=None, params=None, val_dataloader=None,
             resume_from: str | None = None):
@@ -479,8 +491,12 @@ class Trainer:
             # loudly instead of silently training against the stale
             # jit-baked constant (ADVICE r2). jax arrays are immutable.
             attrs = tuple(sorted(vars(module).items(), key=lambda kv: kv[0]))
+            frozen = getattr(self, "_frozen_attrs", None)
+            if frozen is None:
+                frozen = self._frozen_attrs = []
             fp = (module,
-                  tuple((k, id(v), _content_key(v)) for k, v in attrs),
+                  tuple((k, id(v), _content_key(v, frozen))
+                        for k, v in attrs),
                   tuple(v for _, v in attrs))
             ck = (str(self.optimizer_spec), lr, self.lbfgs_max_iter,
                   str(self.lr_milestones), self.lr_gamma, n_batches,

@@ -68,7 +68,16 @@ def main():
         elif args.xyzna:
             pts, nrm, area = read_xyzna(args.xyzna)
             if not area.any():
-                area = np.full(len(pts), 1.0 / len(pts), np.float32)
+                # estimate per-point area from local spacing: for a
+                # roughly uniform sampling of a surface, each point
+                # covers ~ d_nn^2 (d_nn = nearest-neighbor distance).
+                # A fixed total of 1.0 would mis-scale the winding
+                # integral for surfaces whose true area differs from 1
+                # and break the occupancy sign initialization.
+                from scipy.spatial import cKDTree
+
+                d_nn, _ = cKDTree(pts).query(pts, k=2)
+                area = (d_nn[:, 1] ** 2).astype(np.float32)
         else:
             pts, nrm, area = sample_sphere_cloud(n_points=2000, radius=0.25)
         grid = (n, n, n)
