@@ -129,11 +129,17 @@ def module_linear_solve(module, inputs_tensor=None, forcing_tensor=None,
     forcing = (jnp.asarray(forcing_tensor)[None]
                if forcing_tensor is not None else None)
 
+    if getattr(module, "eq_type", None) == "stokes":
+        # mixed systems route to the block-preconditioned solver (the
+        # scalar-field machinery below assumes one nodal unknown)
+        return stokes_linear_solve(module, inputs_tensor=inputs_tensor,
+                                   maxiter=maxiter or 100, tol=max(tol, 1e-6))
     res_hook = getattr(module, "residual_for_field", None)
     if res_hook is None:
         raise ValueError(
             f"{type(module).__name__} does not expose residual_for_field; "
-            "linear solves are wired for the Poisson/Helmholtz family")
+            "linear solves are wired for the Poisson/Helmholtz family "
+            "(Stokes routes to stokes_linear_solve; NS to ns_newton_solve)")
 
     def residual_fn(u):
         return res_hook(u[None], inputs, forcing)[0]
