@@ -124,10 +124,16 @@ class AllenCahnIceMelt(FEM2DModule):
         return self.apply_dirichlet(u, inputs_tensor[..., 2], 0.0)
 
     def calcG(self, u_gp):
-        """Allen-Cahn reaction (e18:77-78)."""
+        """Allen-Cahn reaction (e18:77-78). The ac_A == 0 (homotopy /
+        reaction-free) case drops the double-well term STATICALLY: tracing
+        `0 * u**3` would leave integer_pow in the jaxpr and break the
+        symbolic transpose jax.scipy's gmres needs on the then-affine
+        residual."""
+        lin = -self.ac_D * self.ac_k * jnp.ones_like(u_gp)
+        if self.ac_A == 0.0:
+            return lin
         return (2.0 * self.ac_D * self.ac_A
-                * (u_gp - 3.0 * u_gp**2 + 2.0 * u_gp**3)
-                - self.ac_D * self.ac_k)
+                * (u_gp - 3.0 * u_gp**2 + 2.0 * u_gp**3) + lin)
 
     def residual(self, u, bc1, bc2):
         D, Cn = self.ac_D, self.ac_Cn

@@ -2,6 +2,7 @@ from .continuation import coarse_to_fine, prolong_field  # noqa: F401
 from .linear import (  # noqa: F401
     module_linear_solve,
     multigrid_preconditioner,
+    newton_solve,
     ns_newton_solve,
     solve_linear,
     stokes_block_preconditioner,

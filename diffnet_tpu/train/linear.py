@@ -30,8 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["solve_linear", "module_linear_solve", "multigrid_preconditioner",
-           "ns_newton_solve", "stokes_block_preconditioner",
-           "stokes_linear_solve"]
+           "newton_solve", "ns_newton_solve",
+           "stokes_block_preconditioner", "stokes_linear_solve"]
 
 
 def solve_linear(residual_fn: Callable, shape, method: str = "cg",
@@ -541,6 +541,73 @@ def stokes_linear_solve(module, inputs_tensor=None, tol=1e-6, maxiter=100,
     return (u, v, p), info
 
 
+def newton_solve(residual_fn, x0, M=None, newton_iters=20, tol=1e-6,
+                 gmres_iters=40, restart=10, verbose=False):
+    """Generic Jacobian-free Newton-Krylov: solve ``residual_fn(x) == 0``
+    for a NONLINEAR residual over an array or pytree unknown.
+
+    The Jacobian-vector product is one ``jax.jvp`` through the residual
+    (no Jacobian is ever formed), the linear solve is preconditioned
+    GMRES, and steps are globalized with a backtracking line search on
+    |F|. The Newton direction is ONE jitted function with x as an
+    operand, so the whole solve compiles exactly twice (F and the
+    direction). Used by :func:`ns_newton_solve` for the VMS
+    Navier-Stokes system; equally applicable to any pde module's
+    nonlinear assembled residual (Allen-Cahn reaction, viscous Burgers).
+
+    Returns (x, info) with info['residual_history'] (|F| per accepted
+    iterate, ending at the RETURNED iterate) and info['newton_iters']
+    (accepted steps).
+    """
+
+    def tnorm(t):
+        return float(jnp.sqrt(sum(jnp.sum(x * x)
+                                  for x in jax.tree.leaves(t))))
+
+    F_jit = jax.jit(residual_fn)
+
+    @jax.jit
+    def newton_dir(x, Fx):
+        def Jv(v):
+            return jax.jvp(residual_fn, (x,), (v,))[1]
+
+        neg = jax.tree.map(jnp.negative, Fx)
+        dx, _ = jax.scipy.sparse.linalg.gmres(
+            Jv, neg, M=M, tol=1e-4, maxiter=gmres_iters,
+            restart=restart, solve_method="batched")
+        return dx
+
+    x = x0
+    hist = []
+    Fx = F_jit(x)
+    n0 = tnorm(Fx)
+    newton_done = 0
+    for it in range(newton_iters):
+        hist.append(n0)
+        if verbose:
+            print(f"newton {it}: |F| = {n0:.3e}")
+        if n0 < tol:
+            break
+        dx = newton_dir(x, Fx)
+        # backtracking line search on |F|
+        alpha = 1.0
+        for _ in range(8):
+            x_try = jax.tree.map(lambda a, d: a + alpha * d, x, dx)
+            F_try = F_jit(x_try)
+            n_try = tnorm(F_try)
+            if n_try < (1.0 - 1e-4 * alpha) * n0:
+                x, Fx, n0 = x_try, F_try, n_try
+                newton_done += 1
+                break
+            alpha *= 0.5
+        else:
+            break  # no descent direction — return best iterate
+    else:
+        # budget exhausted: record the residual of the RETURNED iterate
+        hist.append(n0)
+    return x, {"residual_history": hist, "newton_iters": newton_done}
+
+
 def ns_newton_solve(module, inputs_tensor=None, newton_iters=20,
                     tol=1e-6, gmres_iters=40, restart=10, n_coarse=9,
                     n_smooth=3, x0=None, verbose=False):
@@ -578,57 +645,12 @@ def ns_newton_solve(module, inputs_tensor=None, newton_iters=20,
         R = module.mixed_residual(f, inputs, None)
         return {k: v[0] for k, v in R.items()}
 
-    def tnorm(t):
-        return float(jnp.sqrt(sum(jnp.sum(x * x)
-                                  for x in jax.tree.leaves(t))))
-
     M = stokes_block_preconditioner(module, inputs_tensor=inputs_tensor,
                                     n_coarse=n_coarse, n_smooth=n_smooth)
     x = x0 or {k: jnp.zeros(n_shape, jnp.float32) for k in ("u", "v", "p")}
-    F_jit = jax.jit(F)
-
-    # ONE jitted Newton-direction function with x as an OPERAND (a fresh
-    # per-iteration closure would retrace + recompile the 13-GP-quantity
-    # VMS jvp and the gmres loop machinery every Newton step)
-    @jax.jit
-    def newton_dir(x, Fx):
-        def Jv(v):
-            return jax.jvp(F, (x,), (v,))[1]
-
-        neg = jax.tree.map(jnp.negative, Fx)
-        dx, _ = jax.scipy.sparse.linalg.gmres(
-            Jv, neg, M=M, tol=1e-4, maxiter=gmres_iters,
-            restart=restart, solve_method="batched")
-        return dx
-
-    hist = []
-    Fx = F_jit(x)
-    n0 = tnorm(Fx)
-    newton_done = 0
-    for it in range(newton_iters):
-        hist.append(n0)
-        if verbose:
-            print(f"newton {it}: |F| = {n0:.3e}")
-        if n0 < tol:
-            break
-        dx = newton_dir(x, Fx)
-        # backtracking line search on |F|
-        alpha = 1.0
-        for _ in range(8):
-            x_try = jax.tree.map(lambda a, d: a + alpha * d, x, dx)
-            F_try = F_jit(x_try)
-            n_try = tnorm(F_try)
-            if n_try < (1.0 - 1e-4 * alpha) * n0:
-                x, Fx, n0 = x_try, F_try, n_try
-                newton_done += 1
-                break
-            alpha *= 0.5
-        else:
-            break  # no descent direction — return best iterate
-    else:
-        # budget exhausted: record the residual of the RETURNED iterate
-        hist.append(n0)
-    info = {"residual_history": hist, "newton_iters": newton_done}
+    x, info = newton_solve(F, x, M=M, newton_iters=newton_iters, tol=tol,
+                           gmres_iters=gmres_iters, restart=restart,
+                           verbose=verbose)
 
     u, v, p = module.apply_bcs(
         (x["u"][None], x["v"][None], x["p"][None]), inputs)

@@ -317,3 +317,68 @@ def test_stokes_block_preconditioned_gmres():
     # solver floor): rate = log2(e33/e65)
     rate = np.log2(errs[33][0] / errs[65][0])
     assert rate > 1.7, (rate, errs)
+
+
+def test_newton_allen_cahn_mms():
+    """Generic Newton-Krylov (train.linear.newton_solve) on the NONLINEAR
+    Allen-Cahn space-time system with the double-well reaction, warm-
+    started from the one-Krylov-call reaction-free (A=0) solve — the same
+    homotopy the training path needs, but seconds instead of 2x250 LBFGS
+    epochs. Accuracy matches the MMS table (CONVERGENCE.md)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from diffnet_tpu.data.single_instances import AllenCahnIceMeltRectangle
+    from diffnet_tpu.pde import AllenCahnIceMelt
+    from diffnet_tpu.train.linear import newton_solve, solve_linear
+
+    pi = math.pi
+    A, Cn, D, k = 16.0, 0.1, 1.0, 2.0
+    exact = lambda x, y: np.sin(pi * x) * np.sin(pi * y)
+
+    def forcing(x, y):
+        u = np.sin(pi * x) * np.sin(pi * y)
+        u_t = pi * np.sin(pi * x) * np.cos(pi * y)
+        G = 2.0 * D * A * (u - 3 * u**2 + 2 * u**3) - D * k
+        return u_t + D * G + D * Cn**2 * 2 * pi**2 * u
+
+    def linforcing(x, y):
+        u = np.sin(pi * x) * np.sin(pi * y)
+        u_t = pi * np.sin(pi * x) * np.cos(pi * y)
+        return u_t - D * D * k + D * Cn**2 * 2 * pi**2 * u
+
+    errs = {}
+    for n in (17, 33):
+        ds = AllenCahnIceMeltRectangle(domain_size=n)
+        ds.n_samples = 1
+        ds.bc2 = np.zeros((n, n))
+        ds.bc2[:, [0, -1]] = 1.0
+        ds.bc2[-1, :] = 1.0
+        ds.u0 = np.zeros((n, n))
+        jin = jnp.asarray(ds[0][0])[None]
+        bc1, bc2 = jin[..., 1], jin[..., 2]
+        # stage 1: the A=0 problem is AFFINE (calcG drops the double-well
+        # STATICALLY so gmres can transpose the jaxpr) -> one Krylov call
+        m1 = AllenCahnIceMelt(None, ds, domain_size=n, batch_size=1,
+                              ac_A=0.0, forcing=linforcing, u0=ds.u0)
+
+        def F1(u, m=m1):
+            return m.residual(m.apply_bcs(u[None], jin), bc1, bc2)[0]
+
+        u_lin, _ = solve_linear(F1, (n, n), method="gmres", tol=1e-8,
+                                maxiter=400, restart=30)
+        m = AllenCahnIceMelt(None, ds, domain_size=n, batch_size=1,
+                             forcing=forcing, exact_solution=exact,
+                             u0=ds.u0)
+
+        def F(u, m=m):
+            return m.residual(m.apply_bcs(u[None], jin), bc1, bc2)[0]
+
+        x, info = newton_solve(F, u_lin, newton_iters=30, gmres_iters=150,
+                               restart=25, tol=1e-9)
+        u = np.asarray(m.apply_bcs(x[None], jin)[0])
+        eL2, _, uex = m.calc_l2_err(u)
+        errs[n] = float(eL2 / uex)
+    assert errs[17] < 5e-3, errs
+    assert errs[33] < 5e-4, errs
