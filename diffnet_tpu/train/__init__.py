@@ -1,5 +1,6 @@
 from .continuation import coarse_to_fine, prolong_field  # noqa: F401
 from .linear import (  # noqa: F401
+    gauss_newton_solve,
     module_linear_solve,
     multigrid_preconditioner,
     newton_solve,

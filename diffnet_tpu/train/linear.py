@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["solve_linear", "module_linear_solve", "multigrid_preconditioner",
-           "newton_solve", "ns_newton_solve",
+           "gauss_newton_solve", "newton_solve", "ns_newton_solve",
            "stokes_block_preconditioner", "stokes_linear_solve"]
 
 
@@ -662,3 +662,67 @@ def ns_newton_solve(module, inputs_tensor=None, newton_iters=20,
         offset = float((p_bc[bc3] - sol_p[bc3]).mean())
         p = np.where(bc3, p, p + offset)
     return (u, v, p), info
+
+
+def gauss_newton_solve(residual_fn, x0, newton_iters=25, tol=1e-10,
+                       cg_iters=50, lm=0.0, verbose=False):
+    """Matrix-free Gauss-Newton for LEAST-SQUARES residuals: minimize
+    ``0.5 ||r(x)||^2`` where ``r(x)`` may have any shape/pytree (e.g. a
+    per-Gauss-point collocation residual — the strong-form Burgers and
+    eikonal losses). The normal operator ``J^T J v`` is one jvp + one
+    vjp through the residual (no matrices), the inner solve is CG with
+    optional Levenberg damping ``lm``, and steps are globalized by a
+    backtracking line search on ``||r||^2``. One jitted direction
+    function (x as operand) — the whole solve compiles twice.
+
+    Complements :func:`newton_solve` (square nonlinear systems): use
+    this when the formulation is a residual-NORM minimization rather
+    than an assembled R(u) = 0.
+    """
+
+    def phi(x):
+        r = residual_fn(x)
+        return sum(jnp.sum(y * y) for y in jax.tree.leaves(r))
+
+    phi_jit = jax.jit(phi)
+
+    @jax.jit
+    def gn_dir(x):
+        r, vjp_fn = jax.vjp(residual_fn, x)
+        g = vjp_fn(r)[0]  # J^T r
+
+        def JTJ(v):
+            Jv = jax.jvp(residual_fn, (x,), (v,))[1]
+            out = vjp_fn(Jv)[0]
+            if lm:
+                out = jax.tree.map(lambda o, vv: o + lm * vv, out, v)
+            return out
+
+        neg = jax.tree.map(jnp.negative, g)
+        dx, _ = jax.scipy.sparse.linalg.cg(JTJ, neg, tol=1e-6,
+                                           maxiter=cg_iters)
+        return dx
+
+    x = x0
+    p0 = float(phi_jit(x))
+    hist = [p0]
+    accepted = 0
+    for it in range(newton_iters):
+        if verbose:
+            print(f"gauss-newton {it}: ||r||^2 = {p0:.3e}")
+        if p0 < tol:
+            break
+        dx = gn_dir(x)
+        alpha = 1.0
+        for _ in range(10):
+            x_try = jax.tree.map(lambda a, d: a + alpha * d, x, dx)
+            p_try = float(phi_jit(x_try))
+            if p_try < (1.0 - 1e-4 * alpha) * p0:
+                x, p0 = x_try, p_try
+                accepted += 1
+                hist.append(p0)
+                break
+            alpha *= 0.5
+        else:
+            break
+    return x, {"loss_history": hist, "gn_iters": accepted}

@@ -382,3 +382,66 @@ def test_newton_allen_cahn_mms():
         errs[n] = float(eL2 / uex)
     assert errs[17] < 5e-3, errs
     assert errs[33] < 5e-4, errs
+
+
+def test_gauss_newton_burgers_mms():
+    """Matrix-free Gauss-Newton on the deg-2 strong-form Burgers
+    collocation residual: 6-8 iterations to the MMS-table accuracy
+    (CONVERGENCE.md Burgers rows need 300 LBFGS epochs)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from diffnet_tpu.pde import BurgersSpaceTime
+    from diffnet_tpu.train.linear import gauss_newton_solve
+
+    pi = math.pi
+
+    class _DS:
+        n_samples = 1
+
+        def __init__(self, n):
+            x = np.linspace(0, 1, n)
+            self.xx, self.yy = np.meshgrid(x, x)
+            bc1 = np.full((n, n), -10.0)
+            bc1_val = np.zeros((n, n))
+            bc1[0, :] = 1.0
+            bc1_val[0, :] = np.sin(pi * x)
+            bc2 = np.full((n, n), -10.0)
+            bc2[:, 0] = 1.0
+            bc2[:, -1] = 1.0
+            self.inputs = np.stack([self.xx, bc1, bc2, bc1_val],
+                                   -1).astype(np.float32)
+            self.forcing = np.zeros((n, n, 1), np.float32)
+
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            return self.inputs, self.forcing
+
+    exact = lambda x, y: np.sin(pi * x) * np.exp(-y)
+    forcing = lambda x, y: (-np.sin(pi * x) * np.exp(-y)
+                            + np.sin(pi * x) * np.exp(-y)
+                            * pi * np.cos(pi * x) * np.exp(-y))
+    errs = {}
+    for n in (17, 33):
+        ds = _DS(n)
+        m = BurgersSpaceTime(None, ds, domain_size=n, batch_size=1,
+                             forcing=forcing, exact_solution=exact)
+        jin = jnp.asarray(ds[0][0])[None]
+
+        def r_gp(u, m=m, jin=jin):
+            ub = m.apply_bcs(u[None], jin)
+            gp = m.gp_all(ub, ("N", "dx", "dy"))
+            res = (gp["dy"] + gp["N"] * gp["dx"]
+                   - jnp.asarray(m.f_gp, ub.dtype))
+            return res * jnp.sqrt(jnp.asarray(m.gpw, ub.dtype))
+
+        x, info = gauss_newton_solve(r_gp, jnp.zeros((n, n), jnp.float32),
+                                     newton_iters=30, cg_iters=200)
+        assert info["gn_iters"] <= 15, info
+        u = np.asarray(m.apply_bcs(x[None], jin)[0])
+        eL2, _, uex = m.calc_l2_err(u)
+        errs[n] = float(eL2 / uex)
+    assert errs[17] < 1e-3 and errs[33] < 1.5e-4, errs
