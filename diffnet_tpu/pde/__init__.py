@@ -1,7 +1,7 @@
 from .advection import AdvDiff2D  # noqa: F401
 from .base import FDMModule, FEM2DModule, FEM3DModule, PDEModule  # noqa: F401
 from .eikonal import (Eikonal2D, Eikonal3D, EikonalFDM2D,  # noqa: F401
-                      signed_occupancy_init)
+                      eikonal_gn_residual, signed_occupancy_init)
 from .elasticity import ElasticFSDT  # noqa: F401
 from .flow import (  # noqa: F401
     FlowWeakFormLDC,

@@ -144,6 +144,45 @@ class Eikonal3D(FEM3DModule):
         return self.network.init(rng, sample_batch[0])
 
 
+def eikonal_gn_residual(module, cloud):
+    """Least-squares residual builder for :func:`train.linear.
+    gauss_newton_solve` on an eikonal module (2D or 3D): stacks the
+    assembled domain residual with the weighted cloud zero-level and
+    normal-alignment equations (the same three terms as ``loss`` with
+    the sqrt taken per-equation instead of on the sums). Solves the
+    reconstruction in a couple of seconds where the LBFGS training path
+    needs hundreds of epochs:
+
+        r = eikonal_gn_residual(m, cloud)       # cloud [1, Np, >=2*nsd]
+        u, info = gauss_newton_solve(r, u0, lm=1e-4)
+    """
+    nsd = module.nsd
+    jc = jnp.asarray(cloud)
+    pts = jc[..., 0:nsd]
+    normals = jc[..., nsd:2 * nsd]
+    sw = float(module.sdf_weight) ** 0.5
+    nw = float(module.normals_weight) ** 0.5
+    if nsd == 2:
+        interp = lambda u: grid_interp_2d(
+            u, pts, (module.hx, module.hy), deg=module.fem_basis_deg)
+    else:
+        interp = lambda u: grid_interp_3d(
+            u, pts, (module.hx, module.hy, module.hz),
+            deg=module.fem_basis_deg)
+
+    def residual(u):
+        R1 = module.domain_residual(u[None])[0]
+        u_pts, grad_pts = interp(u[None])
+        zl = sw * u_pts[0]
+        if nsd == 2:
+            na = nw * (jnp.sum(grad_pts[0] * normals[0], -1) - 1.0)
+        else:
+            na = nw * (grad_pts[0] - normals[0]).reshape(-1)
+        return {"domain": R1, "zero_level": zl, "normals": na}
+
+    return residual
+
+
 class EikonalFDM2D(Eikonal2D):
     """FDM variant: R1 = |grad u|^2 - 1 via stencils, mean-square over the
     grid, plus the same cloud terms (reference lossFDM, e01:234-285)."""

@@ -253,3 +253,34 @@ def test_topopt_demonstrated_design():
     assert post.max() < 1.05 * post.min() + 1e-9     # no regression > 5%
     assert rho.std() > 0.15                          # two-phase design
     assert np.mean(rho > 0.5) > 0.2 and np.mean(rho < 0.1) > 0.1
+
+
+def test_eikonal_gauss_newton_circle():
+    """Gauss-Newton on the eikonal least-squares system
+    (pde.eikonal.eikonal_gn_residual + train.linear.gauss_newton_solve)
+    reconstructs the circle SDF in ~2 s / tens of iterations — same
+    accuracy bar as the 400-epoch LBFGS test above."""
+    from diffnet_tpu.data.loader import InMemoryDataset
+    from diffnet_tpu.pde.eikonal import (eikonal_gn_residual,
+                                         signed_occupancy_init)
+    from diffnet_tpu.train.linear import gauss_newton_solve
+
+    n = 32
+    pts, nrm, area = sample_ellipse_cloud(n_points=100, center=(0.5, 0.5),
+                                          radii=(0.25, 0.25))
+    cloud = np.concatenate([pts, nrm, area[:, None]], -1).astype(np.float32)
+    ds = InMemoryDataset(cloud[None], np.zeros((1, n, n, 1), np.float32))
+    m = Eikonal2D(None, ds, domain_size=n, batch_size=1, sdf_weight=100.0,
+                  normals_weight=10.0)
+    u0 = np.asarray(signed_occupancy_init(
+        jnp.asarray(pts)[None], jnp.asarray(nrm)[None],
+        jnp.asarray(area)[None], (n, n)))[0]
+    r = eikonal_gn_residual(m, cloud[None])
+    x, info = gauss_newton_solve(r, jnp.asarray(u0), newton_iters=40,
+                                 cg_iters=100, lm=1e-4)
+    u = np.asarray(x)
+    xg = np.linspace(0, 1, n)
+    xx, yy = np.meshgrid(xg, xg)
+    rr = np.sqrt((xx - 0.5) ** 2 + (yy - 0.5) ** 2)
+    err = np.abs(u - (rr - 0.25))[rr < 0.45]
+    assert err.mean() < 0.05, err.mean()
