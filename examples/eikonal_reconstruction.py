@@ -40,6 +40,10 @@ def main():
     p.add_argument("--nsd", type=int, default=2, choices=(2, 3))
     p.add_argument("--domain-size", type=int, default=32)
     p.add_argument("--max-epochs", type=int, default=300)
+    p.add_argument("--solver", choices=("lbfgs", "gn"), default="lbfgs",
+                   help="lbfgs: reference-style descent; gn: matrix-free "
+                        "Gauss-Newton on the eikonal least-squares system "
+                        "(seconds instead of hundreds of epochs)")
     p.add_argument("--xyzna", default=None,
                    help="optional .xyzna cloud file (2D: z ignored)")
     p.add_argument("--voxels", default=None,
@@ -107,10 +111,24 @@ def main():
                         sdf_weight=100.0, normals_weight=10.0)
 
     run_dir = make_run_dir(args.out_dir, f"eikonal{args.nsd}d")
-    trainer = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",
-                      lbfgs_max_iter=10, run_dir=run_dir, checkpoint=True)
-    state = trainer.fit(module, NumpyLoader(ds, batch_size=1))
-    u = np.asarray(net.apply(state.params)[0])
+    if args.solver == "gn":
+        import jax.numpy as _jnp
+
+        from diffnet_tpu.pde import eikonal_gn_residual
+        from diffnet_tpu.train import gauss_newton_solve
+
+        r = eikonal_gn_residual(module, cloud[None])
+        x, info = gauss_newton_solve(r, _jnp.asarray(u0), newton_iters=40,
+                                     cg_iters=100, lm=1e-4)
+        print(f"gauss-newton iters: {info['gn_iters']}  "
+              f"loss: {info['loss_history'][-1]:.3e}")
+        u = np.asarray(x)
+    else:
+        trainer = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",
+                          lbfgs_max_iter=10, run_dir=run_dir,
+                          checkpoint=True)
+        state = trainer.fit(module, NumpyLoader(ds, batch_size=1))
+        u = np.asarray(net.apply(state.params)[0])
     if args.nsd == 3:
         # zero-isosurface OBJ (reference exports the 3D result through
         # marching-cubes + trimesh, IBN_3D.py:36-69)

@@ -41,6 +41,7 @@ def test_poisson_example_cli(tmp_path):
     ("ns_ldc.py", ["--domain-size", 12, "--max-epochs", 3]),
     ("ns_ldc.py", ["--domain-size", 17, "--solver", "newton"]),
     ("eikonal_reconstruction.py", ["--domain-size", 16, "--max-epochs", 2]),
+    ("eikonal_reconstruction.py", ["--domain-size", 16, "--solver", "gn"]),
     ("eikonal_reconstruction.py", ["--nsd", 3, "--domain-size", 9,
                                    "--max-epochs", 2]),
     ("poisson_ibn_parametric.py", ["-b", 4, "--n-samples", 8,
