@@ -542,22 +542,29 @@ def stokes_linear_solve(module, inputs_tensor=None, tol=1e-6, maxiter=100,
 
 
 def newton_solve(residual_fn, x0, M=None, newton_iters=20, tol=1e-6,
-                 gmres_iters=40, restart=10, verbose=False):
+                 gmres_iters=40, restart=10, lm0=0.0, verbose=False):
     """Generic Jacobian-free Newton-Krylov: solve ``residual_fn(x) == 0``
     for a NONLINEAR residual over an array or pytree unknown.
 
     The Jacobian-vector product is one ``jax.jvp`` through the residual
     (no Jacobian is ever formed), the linear solve is preconditioned
     GMRES, and steps are globalized with a backtracking line search on
-    |F|. The Newton direction is ONE jitted function with x as an
-    operand, so the whole solve compiles exactly twice (F and the
-    direction). Used by :func:`ns_newton_solve` for the VMS
+    |F|. The Newton direction is ONE jitted function with x (and the
+    damping) as operands, so the whole solve compiles exactly twice (F
+    and the direction). Used by :func:`ns_newton_solve` for the VMS
     Navier-Stokes system; equally applicable to any pde module's
     nonlinear assembled residual (Allen-Cahn reaction, viscous Burgers).
 
-    Returns (x, info) with info['residual_history'] (|F| per accepted
-    iterate, ending at the RETURNED iterate) and info['newton_iters']
-    (accepted steps).
+    ``lm0 > 0`` enables adaptive Levenberg damping (solve
+    ``(J + lam I) dx = -F`` with lam annealed x0.3 on full steps and
+    boosted x10 on line-search failure — a pseudo-transient-flavored
+    globalization). With lm0=1e-3 and gmres_iters=100 the VMS LDC
+    solves COLD at Re=400 (16 iterations to 8e-7; undamped Newton
+    stalls at 2e-3 there).
+
+    Returns (x, info) with info['residual_history'] (|F| per outer
+    iteration — repeated values mark damped retries — ending at the
+    RETURNED iterate) and info['newton_iters'] (accepted steps).
     """
 
     def tnorm(t):
@@ -567,9 +574,10 @@ def newton_solve(residual_fn, x0, M=None, newton_iters=20, tol=1e-6,
     F_jit = jax.jit(residual_fn)
 
     @jax.jit
-    def newton_dir(x, Fx):
+    def newton_dir(x, Fx, lam):
         def Jv(v):
-            return jax.jvp(residual_fn, (x,), (v,))[1]
+            out = jax.jvp(residual_fn, (x,), (v,))[1]
+            return jax.tree.map(lambda o, vv: o + lam * vv, out, v)
 
         neg = jax.tree.map(jnp.negative, Fx)
         dx, _ = jax.scipy.sparse.linalg.gmres(
@@ -582,15 +590,17 @@ def newton_solve(residual_fn, x0, M=None, newton_iters=20, tol=1e-6,
     Fx = F_jit(x)
     n0 = tnorm(Fx)
     newton_done = 0
+    lam = float(lm0)
     for it in range(newton_iters):
         hist.append(n0)
         if verbose:
-            print(f"newton {it}: |F| = {n0:.3e}")
+            print(f"newton {it}: |F| = {n0:.3e} lam = {lam:.1e}")
         if n0 < tol:
             break
-        dx = newton_dir(x, Fx)
+        dx = newton_dir(x, Fx, jnp.float32(lam))
         # backtracking line search on |F|
         alpha = 1.0
+        accepted = False
         for _ in range(8):
             x_try = jax.tree.map(lambda a, d: a + alpha * d, x, dx)
             F_try = F_jit(x_try)
@@ -598,10 +608,18 @@ def newton_solve(residual_fn, x0, M=None, newton_iters=20, tol=1e-6,
             if n_try < (1.0 - 1e-4 * alpha) * n0:
                 x, Fx, n0 = x_try, F_try, n_try
                 newton_done += 1
+                accepted = True
                 break
             alpha *= 0.5
+        if accepted:
+            if lm0 and alpha == 1.0:
+                lam *= 0.3  # trustworthy model: anneal toward pure Newton
+        elif lm0:
+            lam = max(lam * 10.0, float(lm0))
+            if lam > 1e4:
+                break  # damping saturated — return best iterate
         else:
-            break  # no descent direction — return best iterate
+            break  # undamped and no descent direction
     else:
         # budget exhausted: record the residual of the RETURNED iterate
         hist.append(n0)
@@ -610,7 +628,7 @@ def newton_solve(residual_fn, x0, M=None, newton_iters=20, tol=1e-6,
 
 def ns_newton_solve(module, inputs_tensor=None, newton_iters=20,
                     tol=1e-6, gmres_iters=40, restart=10, n_coarse=9,
-                    n_smooth=3, x0=None, verbose=False):
+                    n_smooth=3, x0=None, lm0=0.0, verbose=False):
     """Newton-Krylov solve of the full-VMS Navier-Stokes mixed system.
 
     TPU-idiomatic Jacobian-free Newton: the Jacobian-vector product of
@@ -626,12 +644,13 @@ def ns_newton_solve(module, inputs_tensor=None, newton_iters=20,
     history). Start from rest (x0=None) for moderate Re.
 
     Scope: quadratic convergence demonstrated to Re ~ 100 (the reference's
-    own LDC config, 4 iterations to |F| ~ 5e-8 at 48^2). At Re >= 400 the
-    viscous-MG momentum preconditioner ignores the now-dominant advection
-    and the inexact-Newton directions degrade (measured stall at
-    |F| ~ 2e-3 with a 40-iteration inner budget); an advection-aware
-    momentum smoother or pseudo-transient continuation is the known
-    remedy and is left as future work.
+    own LDC config, 4 iterations to |F| ~ 5e-8 at 48^2) with the
+    defaults. At Re ~ 400 the viscous-MG momentum preconditioner ignores
+    the now-dominant advection and undamped inexact-Newton stalls at
+    |F| ~ 2e-3; ``lm0=1e-3, gmres_iters=100`` (adaptive Levenberg
+    damping) solves Re=400 COLD in 16 iterations to 8e-7 (measured,
+    48^2). Re ~ 1000 still stalls (~4e-3) — it needs finer grids for the
+    boundary layers plus an advection-aware smoother; future work.
     """
     import numpy as np
 
@@ -650,7 +669,7 @@ def ns_newton_solve(module, inputs_tensor=None, newton_iters=20,
     x = x0 or {k: jnp.zeros(n_shape, jnp.float32) for k in ("u", "v", "p")}
     x, info = newton_solve(F, x, M=M, newton_iters=newton_iters, tol=tol,
                            gmres_iters=gmres_iters, restart=restart,
-                           verbose=verbose)
+                           lm0=lm0, verbose=verbose)
 
     u, v, p = module.apply_bcs(
         (x["u"][None], x["v"][None], x["p"][None]), inputs)
