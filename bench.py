@@ -56,6 +56,12 @@ def _timeit_chained(fn, u, *args, iters=30, warmup=5):
 
 def main():
     import jax
+
+    if os.environ.get("DIFFNET_BENCH_CPU"):
+        # explicit CPU pin for hermetic testing of the harness itself
+        # (JAX_PLATFORMS in the env is overridden by this image's
+        # sitecustomize; only the config update sticks — CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from diffnet_tpu.core import fem
@@ -810,37 +816,65 @@ def _bf16_primary():
 def _guarded():
     """Run the measurement in a subprocess with a hard timeout: this image's
     TPU relay can wedge (all device ops hang indefinitely — see CLAUDE.md);
-    a benchmark that hangs is worse than one that reports the failure."""
+    a benchmark that hangs is worse than one that reports the failure.
+
+    The inner process prints CUMULATIVE JSON lines (primary first, then
+    one per phase); each is re-printed IMMEDIATELY as it arrives — an
+    external kill (the driver's own timeout) at any point still leaves
+    the most recent cumulative line on stdout. (The buffered version
+    printed nothing until the inner completed, so an outer kill lost
+    every banked metric.)"""
+    deadline = time.monotonic() + int(
+        os.environ.get("DIFFNET_BENCH_TIMEOUT", "3600"))
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--inner"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+    import selectors
+
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    last_line = None
     try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--inner"],
-            capture_output=True, text=True,
-            timeout=int(os.environ.get("DIFFNET_BENCH_TIMEOUT", "3600")))
-        # the inner process prints cumulative JSON lines (primary first,
-        # then one per supplementary phase) — emit the LAST, most complete
-        # one (round 1 shipped only the first line, dropping steps/sec + L2)
-        for line in reversed(out.stdout.splitlines()):
-            line = line.strip()
+        while True:
+            left = deadline - time.monotonic()
+            if left <= 0:
+                break
+            if not sel.select(timeout=min(left, 30)):
+                if proc.poll() is not None:
+                    break
+                continue
+            chunk = proc.stdout.readline()
+            if chunk == "":
+                break  # EOF
+            line = chunk.strip()
             if line.startswith("{"):
-                print(line)
-                return
-        raise RuntimeError(f"no JSON in bench output: {out.stdout[-500:]} "
-                           f"{out.stderr[-500:]}")
-    except subprocess.TimeoutExpired as e:
-        # salvage the primary metric if it was printed before the wedge
-        partial = (e.stdout or b"")
-        if isinstance(partial, bytes):
-            partial = partial.decode(errors="replace")
-        for line in reversed(partial.splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
+                print(line, flush=True)
+                last_line = line
+    finally:
+        sel.close()
+        if proc.poll() is None:
+            # EOF can arrive while the inner is still tearing down the
+            # jax runtime — give it a moment before calling it hung
+            try:
+                proc.wait(timeout=min(30, max(1, deadline
+                                              - time.monotonic())))
+            except subprocess.TimeoutExpired:
+                pass
+        if proc.poll() is None:
+            proc.kill()
+            if last_line is not None:
+                # re-print the last cumulative snapshot WITH the truncation
+                # note, so a consumer taking the final JSON line still gets
+                # every banked metric
                 try:
-                    d = json.loads(line)
-                    d["note"] = "supplementary truncated: relay wedged mid-run"
-                    print(json.dumps(d))
-                    return
+                    d = json.loads(last_line)
+                    d["note"] = ("bench timed out mid-run (relay wedge?) — "
+                                 "this is the last complete snapshot")
+                    print(json.dumps(d), flush=True)
                 except json.JSONDecodeError:
                     pass
+    printed_any = last_line is not None
+    if not printed_any:
         print(json.dumps({
             "metric": "element_residual_evals_per_sec_512sq_poisson",
             "value": 0.0, "unit": "elem/s", "vs_baseline": 0.0,
