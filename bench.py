@@ -157,7 +157,18 @@ def main():
         # (see _timeit_chained); the extra axpy is negligible
         return jax.jit(lambda u, nu, f_gp: fn(u, nu, f_gp) * 1e-6 + u)
 
+    elems = bs * (n - 1) * (n - 1)
+    suffix = "" if dt == jnp.float32 else f"_{dt.name}"
     t_et_nf = _timeit_chained(chained(residual_et_nf), u, nu, Nf_rhs)
+    # bank the headline IMMEDIATELY — the remaining three comparison
+    # timings are a relay-wedge window in which an unprinted run loses
+    # everything (each later print supersedes this line cumulatively)
+    print(json.dumps({
+        "metric": "element_residual_evals_per_sec_512sq_poisson" + suffix,
+        "value": float(f"{elems / t_et_nf:.4g}"), "unit": "elem/s",
+        "vs_baseline": 0.0, "batch": bs, "timing": "chained",
+        "rhs": "precomputed_nodal_Nf",
+        "note": "comparison timings pending"}), flush=True)
     t_et = _timeit_chained(chained(residual_et), u, nu, f_gp)
     t_fused = _timeit_chained(chained(residual_fused), u, nu, f_gp)
     t_ref = _timeit_chained(chained(residual_reference_style), u, nu,
@@ -186,9 +197,7 @@ def main():
             * 1e-6 + u)
         t_pallas = _timeit_chained(pallas_fn, u, nu, iters=10, warmup=2)
 
-    elems = bs * (n - 1) * (n - 1)
     evals_per_sec = elems / t_et_nf
-    suffix = "" if dt == jnp.float32 else f"_{dt.name}"
     result = {
         "metric": "element_residual_evals_per_sec_512sq_poisson" + suffix,
         "value": float(f"{evals_per_sec:.4g}"),
