@@ -23,6 +23,10 @@ def main():
                                        "burgers", "fsdt", "topopt"])
     p.add_argument("--domain-size", type=int, default=32)
     p.add_argument("--max-epochs", type=int, default=100)
+    p.add_argument("--solver", choices=("lbfgs", "direct"), default="lbfgs",
+                   help="direct: Krylov/Newton solver path instead of the "
+                        "reference-style LBFGS descent (helmholtz: gmres; "
+                        "allen-cahn: Newton with A=0 homotopy)")
     p.add_argument("--out-dir", default="runs")
     args = p.parse_args()
 
@@ -46,9 +50,15 @@ def main():
         ds.n_samples = 1
         m = Helmholtz2D(DirectField((n, n), init=zero), ds, domain_size=n,
                         batch_size=1, exact_solution=ds.exact)
-        st = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",
-                     lbfgs_max_iter=10, run_dir=run_dir).fit(m)
-        u = np.asarray(m.network.apply(st.params)[0])
+        if args.solver == "direct":
+            from diffnet_tpu.train import module_linear_solve
+
+            u, _ = module_linear_solve(m, method="gmres", tol=1e-10,
+                                       maxiter=2000)
+        else:
+            st = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",
+                         lbfgs_max_iter=10, run_dir=run_dir).fit(m)
+            u = np.asarray(m.network.apply(st.params)[0])
         eL2, _, uex = m.calc_l2_err(u)
         print(f"helmholtz rel_L2: {float(eL2/uex):.3e}")
 
@@ -75,9 +85,26 @@ def main():
         ds.n_samples = 1
         m = AllenCahnIceMelt(DirectField((n, n), init=ds.initial_guess), ds,
                              domain_size=n, batch_size=1)
-        st = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",
-                     lbfgs_max_iter=10, run_dir=run_dir).fit(m)
-        u = np.asarray(m.network.apply(st.params)[0])
+        if args.solver == "direct":
+            from diffnet_tpu.train import newton_solve
+
+            jin = jnp.asarray(ds[0][0])[None]
+            bc1, bc2 = jin[..., 1], jin[..., 2]
+
+            def F(u):
+                return m.residual(m.apply_bcs(u[None], jin), bc1, bc2)[0]
+
+            x, info = newton_solve(F, jnp.asarray(ds.initial_guess,
+                                                  jnp.float32),
+                                   newton_iters=30, gmres_iters=150,
+                                   restart=25, tol=1e-8)
+            print(f"newton iters: {info['newton_iters']}  "
+                  f"|F|: {info['residual_history'][-1]:.3e}")
+            u = np.asarray(m.apply_bcs(x[None], jin)[0])
+        else:
+            st = Trainer(max_epochs=args.max_epochs, optimizer="lbfgs",
+                         lbfgs_max_iter=10, run_dir=run_dir).fit(m)
+            u = np.asarray(m.network.apply(st.params)[0])
         print(f"allen-cahn phase range: [{u.min():.3f}, {u.max():.3f}]")
 
     elif args.physics == "burgers":

@@ -58,6 +58,10 @@ def test_poisson_example_cli(tmp_path):
                               "--batch-size", 2, "--width", 64,
                               "--height", 32, "--base-filters", 2]),
     ("eikonal_airfoil.py", ["--domain-size", 16, "--max-epochs", 2]),
+    ("more_physics.py", ["helmholtz", "--domain-size", 17,
+                         "--solver", "direct"]),
+    ("more_physics.py", ["allen-cahn", "--domain-size", 17,
+                         "--solver", "direct"]),
     ("sweep.py", ["--physics", "klsum", "--param", "n_train",
                   "--values", "4,8", "--domain-size", 16, "--max-epochs", 1,
                   "--batch-size", 4]),
