@@ -169,6 +169,40 @@ def main():
         "vs_baseline": 0.0, "batch": bs, "timing": "chained",
         "rhs": "precomputed_nodal_Nf",
         "note": "comparison timings pending"}), flush=True)
+    # SCAN-LOOP variant: K chained residual applications inside ONE
+    # dispatch (lax.scan), scalar readback at the end. This is the
+    # PRODUCTION iteration pattern — jax.scipy's CG/GMRES run their
+    # iterations as on-device while_loops under jit — so it measures
+    # on-chip residual throughput with the per-dispatch relay round trip
+    # (~2-3 ms here, comparable to the whole computation) amortized away.
+    K = 20
+
+    @jax.jit
+    def residual_scanK(u, nu, Nf):
+        def body(carry, _):
+            R = fem.element_action(carry, nu, A, basis, (n, n)) - Nf
+            R = jnp.where(bc > 0.5, 0.0, R)
+            return R * 1e-6 + carry, None
+
+        out, _ = jax.lax.scan(body, u, None, length=K)
+        return out
+
+    r = residual_scanK(u, nu, Nf_rhs)
+    _ = float(jnp.sum(r))
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = residual_scanK(r, nu, Nf_rhs)
+    _ = float(jnp.sum(r))
+    t_scan = (time.perf_counter() - t0) / (reps * K)
+    print(json.dumps({
+        "metric": "element_residual_evals_per_sec_512sq_poisson" + suffix,
+        "value": float(f"{elems / t_et_nf:.4g}"), "unit": "elem/s",
+        "vs_baseline": 0.0, "batch": bs, "timing": "chained",
+        "rhs": "precomputed_nodal_Nf",
+        "elem_per_sec_scan_loop": float(f"{elems / t_scan:.4g}"),
+        "note": "comparison timings pending"}), flush=True)
+
     t_et = _timeit_chained(chained(residual_et), u, nu, f_gp)
     t_fused = _timeit_chained(chained(residual_fused), u, nu, f_gp)
     t_ref = _timeit_chained(chained(residual_reference_style), u, nu,
@@ -203,6 +237,7 @@ def main():
         "value": float(f"{evals_per_sec:.4g}"),
         "unit": "elem/s",
         "vs_baseline": float(f"{t_ref / t_et_nf:.4g}"),
+        "elem_per_sec_scan_loop": float(f"{elems / t_scan:.4g}"),
         "elem_per_sec_gp_forcing": float(f"{elems / t_et:.4g}"),
         "gp_pipeline_elem_per_sec": float(f"{elems / t_fused:.4g}"),
         "batch": bs,
