@@ -606,6 +606,10 @@ def _largegrid():
         _ = float(jnp.sum(r))
         t = (time.perf_counter() - t0) / iters
         out[f"elem_per_sec_{n}sq"] = float(f"{bs * (n-1)**2 / t:.4g}")
+        # cumulative print per size: a relay wedge mid-phase must not
+        # lose the sizes already measured (the phase runner takes the
+        # last JSON line)
+        print(json.dumps(out), flush=True)
 
     # 3D 128^3 (GP pipeline — the production 3D path)
     n, bs = 128, 1
