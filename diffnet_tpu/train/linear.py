@@ -525,20 +525,28 @@ def stokes_linear_solve(module, inputs_tensor=None, tol=1e-6, maxiter=100,
     tmpl = {k: jnp.zeros(n_shape, jnp.float32) for k in ("u", "v", "p")}
     sol, info = solve_linear(resfn, tmpl, method="gmres", tol=tol,
                              maxiter=maxiter, M=M, restart=restart)
+    return _substitute_and_restore_gauge(module, inputs_tensor, inputs,
+                                         sol), info
+
+
+def _substitute_and_restore_gauge(module, inputs_tensor, inputs, sol):
+    """Shared tail of the mixed-system solvers: substitute the Dirichlet
+    data, then restore the pinned pressure gauge by a constant shift of
+    the non-pin nodes (the mean-controlled solve leaves p mean-free; a
+    constant is exactly null for every other equation — see
+    StokesNSBase.mixed_residual)."""
+    import numpy as np
+
     u, v, p = module.apply_bcs(
         (sol["u"][None], sol["v"][None], sol["p"][None]), inputs)
     u, v, p = np.asarray(u[0]), np.asarray(v[0]), np.asarray(p[0])
-    # restore the pinned gauge: constant-shift p so the pin nodes hold
-    # their Dirichlet value (apply_bcs substituted them; shift the REST)
     bc3 = np.asarray(inputs_tensor)[..., 4] > 0.5
     if bc3.any():
         p_bc = np.broadcast_to(np.asarray(module.p_bc), p.shape)
-        # mean-free interior + pinned values: shift interior so it meets
-        # the pin's gauge (use the pre-substitution solution at the pins)
         sol_p = np.asarray(sol["p"])
         offset = float((p_bc[bc3] - sol_p[bc3]).mean())
         p = np.where(bc3, p, p + offset)
-    return (u, v, p), info
+    return (u, v, p)
 
 
 def newton_solve(residual_fn, x0, M=None, newton_iters=20, tol=1e-6,
@@ -671,16 +679,8 @@ def ns_newton_solve(module, inputs_tensor=None, newton_iters=20,
                            gmres_iters=gmres_iters, restart=restart,
                            lm0=lm0, verbose=verbose)
 
-    u, v, p = module.apply_bcs(
-        (x["u"][None], x["v"][None], x["p"][None]), inputs)
-    u, v, p = np.asarray(u[0]), np.asarray(v[0]), np.asarray(p[0])
-    bc3 = np.asarray(inputs_tensor)[..., 4] > 0.5
-    if bc3.any():
-        p_bc = np.broadcast_to(np.asarray(module.p_bc), p.shape)
-        sol_p = np.asarray(x["p"])
-        offset = float((p_bc[bc3] - sol_p[bc3]).mean())
-        p = np.where(bc3, p, p + offset)
-    return (u, v, p), info
+    return _substitute_and_restore_gauge(module, inputs_tensor, inputs,
+                                         x), info
 
 
 def gauss_newton_solve(residual_fn, x0, newton_iters=25, tol=1e-10,
