@@ -279,6 +279,10 @@ def main():
     # behind ns/p3d/bf16 and the relay was degraded by its turn)
     result.update(_run_tpu_phase("--serve-only", timeout=240))
     print(json.dumps(result), flush=True)
+    # assembled-stencil iteration (train/stencil.py) — the production
+    # Krylov/MG per-iteration kernel; relay-safe class (stencil chains)
+    result.update(_run_tpu_phase("--stencil-only", timeout=300))
+    print(json.dumps(result), flush=True)
     result.update(_run_phase("--l2-only", timeout=420))
     print(json.dumps(result), flush=True)
     # beyond-baseline perf context: the hardest residual (NS full VMS, 13 GP
@@ -846,6 +850,86 @@ def _p3d_throughput():
             float(f"{bs * (n - 1) ** 3 / t:.4g}")}
 
 
+def _stencil_throughput():
+    """Assembled-stencil production iteration (train/stencil.py): the
+    operator is extracted ONCE (9 coloring probes) into explicit
+    width-3 coefficient maps, and every subsequent Krylov/smoother
+    iteration is a single fused pad+FMA stencil pass. Per-iteration HBM
+    traffic drops from the element-tensor path's ~1.2 GB/call (XLA
+    materializes ~15 element-grid pieces — docs/KERNELS.md accounting)
+    to ~(9+3) fields = ~0.40 GB at 512^2/bs32: the XLA-reachable version
+    of the fused Pallas kernel's VMEM chain. Chained + scalar readback,
+    plus a scan-K in-dispatch variant (the actual jax.scipy solver
+    iteration pattern, relay RTT amortized)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffnet_tpu.core import fem
+    from diffnet_tpu.core.quadrature import make_basis
+    from diffnet_tpu.train.stencil import extract_stencil, stencil_matvec
+
+    n = int(os.environ.get("DIFFNET_BENCH_SIZE", "512"))
+    bs = int(os.environ.get("DIFFNET_BENCH_BATCH", "32"))
+    h = 1.0 / (n - 1)
+    basis = make_basis(2, 1, h=(h, h))
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
+    nu = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
+    f_gp = jnp.asarray(rng.random((bs, n - 1, n - 1, 4)), jnp.float32)
+    bc = jnp.zeros((n, n)).at[0, :].set(1.0).at[-1, :].set(1.0)
+    A_el = fem.element_tensor(basis, ("dx", "dy"))
+
+    @jax.jit
+    def Afn(v):
+        R = fem.element_action(v, nu, A_el, basis, (n, n))
+        return jnp.where(bc > 0.5, 0.0, R)
+
+    C = extract_stencil(Afn, (bs, n, n), nsd=2)
+    Nf = jax.jit(lambda f: fem.galerkin_project(f, basis, "N", (n, n)))(f_gp)
+    Nfm = jnp.where(bc > 0.5, 0.0, Nf)
+
+    @jax.jit
+    def step(v):
+        R = stencil_matvec(C, v, nsd=2) - Nfm
+        return R * 1e-6 + v
+
+    r = u
+    for _ in range(5):
+        r = step(r)
+    _ = float(jnp.sum(r))
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = step(r)
+    _ = float(jnp.sum(r))
+    t = (time.perf_counter() - t0) / iters
+
+    K = 20
+
+    @jax.jit
+    def stepK(v):
+        def body(c, _):
+            R = stencil_matvec(C, c, nsd=2) - Nfm
+            return R * 1e-6 + c, None
+
+        out, _ = jax.lax.scan(body, v, None, length=K)
+        return out
+
+    r = stepK(r)
+    _ = float(jnp.sum(r))
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = stepK(r)
+    _ = float(jnp.sum(r))
+    t_scan = (time.perf_counter() - t0) / (reps * K)
+    elems = bs * (n - 1) * (n - 1)
+    return {"stencil_matvec_elem_per_sec_512sq":
+            float(f"{elems / t:.4g}"),
+            "stencil_matvec_elem_per_sec_scan_loop":
+            float(f"{elems / t_scan:.4g}")}
+
+
 def _bf16_primary():
     """The primary element-residual metric with bfloat16 fields (halves the
     HBM traffic; accuracy study in docs/MIXED_PRECISION.md)."""
@@ -930,6 +1014,13 @@ def _guarded():
 
 
 if __name__ == "__main__":
+    if os.environ.get("DIFFNET_BENCH_CPU"):
+        # hermetic-harness pin honored by EVERY phase (sitecustomize
+        # force-registers the axon TPU plugin; only this config update
+        # overrides it — CLAUDE.md)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if "--steps-only" in sys.argv:
         print(json.dumps(_steps_per_sec()), flush=True)
     elif "--steps-fallback-only" in sys.argv:
@@ -942,6 +1033,8 @@ if __name__ == "__main__":
         print(json.dumps(_pallas_probe()), flush=True)
     elif "--ns-only" in sys.argv:
         print(json.dumps(_ns_throughput()), flush=True)
+    elif "--stencil-only" in sys.argv:
+        print(json.dumps(_stencil_throughput()), flush=True)
     elif "--p3d-only" in sys.argv:
         print(json.dumps(_p3d_throughput()), flush=True)
     elif "--serve-only" in sys.argv:

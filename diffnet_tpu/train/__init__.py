@@ -9,6 +9,12 @@ from .linear import (  # noqa: F401
     stokes_block_preconditioner,
     stokes_linear_solve,
 )
+from .stencil import (  # noqa: F401
+    assemble_stencil,
+    extract_stencil,
+    stencil_diag,
+    stencil_matvec,
+)
 from .query import (  # noqa: F401
     calc_mean_stddev,
     point_histograms,

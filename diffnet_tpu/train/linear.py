@@ -37,7 +37,8 @@ __all__ = ["solve_linear", "module_linear_solve", "multigrid_preconditioner",
 def solve_linear(residual_fn: Callable, shape, method: str = "cg",
                  tol: float = 1e-8, maxiter: int | None = None,
                  M: Callable | None = None, x0=None,
-                 restart: int | None = None):
+                 restart: int | None = None,
+                 assemble: str | None = None, stencil_width: int = 3):
     """Solve ``residual_fn(u) == 0`` for affine ``residual_fn``.
 
     residual_fn: nodal field ``[...shape]`` -> residual of the same shape
@@ -46,6 +47,12 @@ def solve_linear(residual_fn: Callable, shape, method: str = "cg",
         'bicgstab' (nonsymmetric/indefinite: Helmholtz, advection),
         'gmres'.
     M: optional preconditioner ``v -> M v`` (e.g. from utils.precond).
+    assemble: ``'stencil'`` extracts the operator's full stencil once
+        (``train.stencil``) and iterates with the fused stencil matvec
+        instead of re-running the element assembly per Krylov iteration —
+        ~3x less HBM traffic per iteration for deg-1 operators (pass
+        ``stencil_width=2*deg+1`` for higher degree). Grid operators
+        only (not pytree/mixed systems).
 
     Returns ``(u, info)`` like jax.scipy.sparse.linalg. Raises ValueError
     if the residual is detectably non-affine (checked to float tolerance
@@ -86,6 +93,27 @@ def solve_linear(residual_fn: Callable, shape, method: str = "cg",
             f"defect {float(lin_err / scale):.2e}); use the training path "
             "or continuation for nonlinear formulations")
 
+    if assemble == "stencil":
+        if is_tree:
+            raise ValueError("assemble='stencil' supports grid operators "
+                             "only, not pytree/mixed systems")
+        from .stencil import extract_stencil, stencil_matvec
+
+        C = extract_stencil(A, zero.shape, width=stencil_width)
+        # verify against the matrix-free probe already computed above
+        got = stencil_matvec(C, probe, width=stencil_width)
+        defect = float(tnorm(got - A1) / scale)
+        if defect > 1e-4:
+            raise ValueError(
+                f"operator is not a width-{stencil_width} stencil "
+                f"(relative defect {defect:.2e}); pass stencil_width="
+                "2*deg+1 or drop assemble='stencil'")
+
+        def A(u, C=C):
+            return stencil_matvec(C, u, width=stencil_width)
+    elif assemble is not None:
+        raise ValueError(f"unknown assemble mode {assemble!r}")
+
     if maxiter is None:
         ndof = sum(int(jnp.asarray(z.size)) for z in jax.tree.leaves(zero))
         maxiter = 10 * int(ndof ** 0.5)
@@ -109,7 +137,9 @@ def solve_linear(residual_fn: Callable, shape, method: str = "cg",
 
 def module_linear_solve(module, inputs_tensor=None, forcing_tensor=None,
                         method: str = "cg", tol: float = 1e-8,
-                        maxiter: int | None = None, M=None):
+                        maxiter: int | None = None, M=None,
+                        assemble: str | None = None,
+                        stencil_width: int | None = None):
     """Direct linear solve of a pde module's single-instance problem.
 
     Builds ``residual_fn(u)`` from the module's own loss machinery: the
@@ -145,8 +175,12 @@ def module_linear_solve(module, inputs_tensor=None, forcing_tensor=None,
         return res_hook(u[None], inputs, forcing)[0]
 
     shape = module.node_shape
+    if stencil_width is None:
+        # deg-d elements couple d+1 nodes per axis -> width 2d+1
+        stencil_width = 2 * int(getattr(module, "fem_basis_deg", 1)) + 1
     u, info = solve_linear(residual_fn, shape, method=method, tol=tol,
-                           maxiter=maxiter, M=M)
+                           maxiter=maxiter, M=M, assemble=assemble,
+                           stencil_width=stencil_width)
     # substitute the Dirichlet values the residual masking assumed
     apply_bcs = getattr(module, "apply_bcs", None)
     if apply_bcs is not None:
@@ -199,7 +233,8 @@ def _full_weight_halve(a, nsd):
 
 def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
                              n_smooth: int = 3, inputs_per_level=None,
-                             nsd: int = 2, coarse_op: str = "rediscretize"):
+                             nsd: int = 2, coarse_op: str = "rediscretize",
+                             assemble: str = "stencil"):
     """Matrix-free geometric-multigrid V-cycle preconditioner M ~ A^-1 for
     :func:`solve_linear` on node-aligned grid hierarchies (n = 2^k + 1).
 
@@ -318,10 +353,36 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
                 return res(u) - b0
 
             A = jax.jit(A)
-        # damped-JACOBI smoothing: the exact operator diagonal captures the
-        # local coefficient scale, which plain Richardson cannot (a ~50x
-        # nu contrast stalled the V-cycle at ~0.5/iter). See _colored_diag.
-        diag = _colored_diag(A, n, nsd)
+        if assemble == "stencil":
+            # assemble each level into explicit stencil form once: V-cycle
+            # smoothing/residual matvecs then cost one fused stencil pass
+            # instead of re-running element assembly (and a GALERKIN
+            # level's matvec no longer chains to the finest grid — the RAP
+            # of a width-3 stencil under the linear transfers is again a
+            # width-3 stencil, so extraction is exact there too). Falls
+            # back to matrix-free if the factory's operator is wider than
+            # deg-1 (verified by probe).
+            from .stencil import extract_stencil, stencil_diag, \
+                stencil_matvec
+
+            C = extract_stencil(A, (n,) * nsd)
+            probe = jnp.asarray(
+                np.random.default_rng(1).standard_normal((n,) * nsd),
+                jnp.float32)
+            want = A(probe)
+            got = stencil_matvec(C, probe)
+            defect = float(jnp.linalg.norm(got - want)
+                           / (jnp.linalg.norm(want) + 1e-30))
+            if defect <= 1e-4:
+                A = jax.jit(lambda u, C=C: stencil_matvec(C, u))
+                diag = np.asarray(stencil_diag(C))
+            else:
+                diag = _colored_diag(A, n, nsd)
+        else:
+            # damped-JACOBI smoothing: the exact operator diagonal captures
+            # the local coefficient scale, which plain Richardson cannot (a
+            # ~50x nu contrast stalled the V-cycle at ~0.5/iter).
+            diag = _colored_diag(A, n, nsd)
         # Dirichlet rows are zeroed in the residual -> zero diagonal;
         # their smoothed update must stay zero, so park a 1.0 there
         invdiag = jnp.asarray(
