@@ -22,6 +22,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstring>
 #include <limits>
 #include <vector>
 
@@ -133,6 +134,21 @@ void dn_winding_3d(const float* pts, const float* nrm, const float* area,
       }
       out[(size_t)b * Q + iq] = acc * inv4pi;
     }
+  }
+}
+
+// Batched sample gather: out[i, :] = src[idx[i], :] for row-major
+// contiguous sample stores (the loader's batch-assembly hot path —
+// replaces a Python per-item __getitem__ loop + np.stack; the reference
+// delegates this to torch DataLoader worker processes, base.py:18).
+// Rows are raw bytes (row_bytes = per-sample nbytes), so every dtype and
+// trailing shape is one memcpy per sample, OpenMP-parallel over the batch.
+void dn_gather_rows(const char* src, const int64_t* idx, int64_t n_idx,
+                    int64_t row_bytes, char* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n_idx; ++i) {
+    std::memcpy(out + (size_t)i * row_bytes,
+                src + (size_t)idx[i] * row_bytes, (size_t)row_bytes);
   }
 }
 

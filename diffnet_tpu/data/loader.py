@@ -23,7 +23,11 @@ __all__ = ["NumpyLoader", "InMemoryDataset"]
 
 
 class InMemoryDataset:
-    """Wrap pre-built arrays as a dataset: (inputs[N,...], forcing[N,...])."""
+    """Wrap pre-built arrays as a dataset: (inputs[N,...], forcing[N,...]).
+
+    Exposes :meth:`batch` (native threaded row-gather) so `NumpyLoader`
+    assembles whole batches with one OpenMP memcpy sweep per array
+    instead of a per-item ``__getitem__`` loop + np.stack."""
 
     def __init__(self, inputs: np.ndarray, forcing: np.ndarray):
         assert len(inputs) == len(forcing)
@@ -35,6 +39,15 @@ class InMemoryDataset:
 
     def __getitem__(self, idx):
         return self.inputs[idx], self.forcing[idx]
+
+    def batch(self, idx):
+        """Assemble a whole batch: equivalent to stacking ``self[i]`` for
+        ``i in idx`` (the `NumpyLoader` fast-path contract: any dataset
+        exposing ``batch`` must keep it consistent with ``__getitem__``)."""
+        from ..utils.native import gather_batch
+
+        return (gather_batch(np.asarray(self.inputs), idx),
+                gather_batch(np.asarray(self.forcing), idx))
 
 
 class NumpyLoader:
@@ -127,12 +140,19 @@ class NumpyLoader:
         if self.shuffle:
             self._rng.shuffle(order)
         nb = len(self)
+        batch_fn = getattr(self.dataset, "batch", None)
         for b in range(nb):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
-            samples = [self.dataset[int(i)] for i in idx]
-            batch = tuple(
-                np.stack([s[k] for s in samples]) for k in range(len(samples[0]))
-            )
+            if batch_fn is not None:
+                # dataset-provided whole-batch assembly (native threaded
+                # gather for InMemoryDataset — see its `batch` contract)
+                batch = tuple(batch_fn(idx))
+            else:
+                samples = [self.dataset[int(i)] for i in idx]
+                batch = tuple(
+                    np.stack([s[k] for s in samples])
+                    for k in range(len(samples[0]))
+                )
             if self.sharding is not None:
                 batch = jax.device_put(batch, self.sharding)
             yield batch

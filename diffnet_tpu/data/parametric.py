@@ -20,17 +20,32 @@ __all__ = ["ImageIMBack", "ImageIMBackObject", "ImageIMBackNeumann",
 
 
 def _load_dir_images(dirname):
+    """Decode every image in a directory (sorted order) to binary masks.
+
+    Decoding runs on a thread pool — PIL releases the GIL during file IO
+    and codec work, so an ensemble directory loads with all host cores
+    (the torch-DataLoader-workers counterpart of the reference's
+    sequential constructor loop, datasets/parametric/images.py:19-24)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import PIL.Image
 
-    out = []
+    paths = []
     for fname in sorted(os.listdir(dirname)):
         path = os.path.join(dirname, fname)
         ext = os.path.splitext(path)[1]
         if ext not in (".png", ".jpg", ".bmp", ".tiff"):
             raise ValueError("invalid extension; extension not supported")
+        paths.append(path)
+
+    def decode(path):
         img = PIL.Image.open(path).convert("L")
-        out.append((np.asarray(img) > 0).astype(float))
-    return out
+        return (np.asarray(img) > 0).astype(float)
+
+    if len(paths) < 2:
+        return [decode(p) for p in paths]
+    with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+        return list(ex.map(decode, paths))
 
 
 class _ImageEnsembleBase:

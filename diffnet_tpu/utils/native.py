@@ -20,8 +20,8 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["available", "kl_diffusivity_batch", "winding_number_2d_host",
-           "winding_number_3d_host"]
+__all__ = ["available", "gather_batch", "kl_diffusivity_batch",
+           "winding_number_2d_host", "winding_number_3d_host"]
 
 _SRC = os.path.normpath(os.path.join(
     os.path.dirname(__file__), "..", "..", "csrc", "diffnet_host.cpp"))
@@ -72,9 +72,12 @@ def _load():
     i64, dbl = ctypes.c_int64, ctypes.c_double
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.dn_kl_diffusivity_2d.argtypes = [f64p, dbl, f64p, i64, i64, i64, f32p]
     lib.dn_winding_2d.argtypes = [f32p, f32p, f32p, i64, i64, f32p, i64, f32p]
     lib.dn_winding_3d.argtypes = [f32p, f32p, f32p, i64, i64, f32p, i64, f32p]
+    lib.dn_gather_rows.argtypes = [u8p, i64p, i64, i64, u8p]
     lib.dn_num_threads.restype = ctypes.c_int
     _lib = lib
     return _lib
@@ -113,6 +116,28 @@ def kl_diffusivity_batch(coeffs, n: int, eta: float = 0.5,
     out = np.empty((B, n, n), np.float32)
     lib.dn_kl_diffusivity_2d(omega, float(eta), np.ascontiguousarray(c6),
                              B, n, 6, out)
+    return out
+
+
+def gather_batch(src: np.ndarray, idx) -> np.ndarray:
+    """Batched sample gather ``src[idx]`` for a contiguous row-major sample
+    store — the loader's batch-assembly hot path (one threaded memcpy per
+    sample instead of a Python per-item ``__getitem__`` loop + np.stack;
+    the reference delegates this to torch DataLoader workers, base.py:18).
+    Any dtype/trailing shape; numpy fancy-index fallback."""
+    src = np.ascontiguousarray(src)
+    idx = np.ascontiguousarray(np.asarray(idx, np.int64))
+    assert idx.ndim == 1
+    if idx.size and (idx.min() < 0 or idx.max() >= src.shape[0]):
+        raise IndexError("gather_batch index out of range")
+    lib = _load()
+    if lib is None or src.shape[0] == 0 or idx.size == 0:
+        return src[idx]
+    row_bytes = src.dtype.itemsize * int(np.prod(src.shape[1:], dtype=np.int64))
+    out = np.empty((idx.size,) + src.shape[1:], src.dtype)
+    lib.dn_gather_rows(src.view(np.uint8).reshape(src.shape[0], -1),
+                       idx, idx.size, row_bytes,
+                       out.view(np.uint8).reshape(idx.size, -1))
     return out
 
 

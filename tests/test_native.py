@@ -113,3 +113,50 @@ def test_klsum_stochastic_uses_batch_path():
     inputs, forcing = ds[0]
     assert inputs.shape == (17, 17, 3) and forcing.shape == (17, 17, 1)
     assert np.all(inputs[..., 0] > 0)  # exp() positive diffusivity
+
+
+def test_gather_batch_matches_fancy_index(monkeypatch):
+    """Native threaded row-gather == numpy fancy indexing, across dtypes
+    and trailing shapes, including repeated and empty index sets."""
+    rng = np.random.default_rng(6)
+    for src in (rng.random((10, 5, 3)).astype(np.float32),
+                rng.integers(0, 255, (7, 4), dtype=np.uint8),
+                rng.random(9)):  # 1-d store (scalar rows)
+        for idx in ([3, 1, 3, 0], [], list(range(len(src)))):
+            nat = native.gather_batch(src, idx)
+            np.testing.assert_array_equal(nat, src[np.asarray(idx, np.int64)])
+    with np.testing.assert_raises(IndexError):
+        native.gather_batch(np.zeros((4, 2)), [4])
+    # fallback path identical
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    src = rng.random((6, 2, 2)).astype(np.float32)
+    np.testing.assert_array_equal(native.gather_batch(src, [5, 0]),
+                                  src[[5, 0]])
+
+
+def test_loader_native_batch_fast_path():
+    """NumpyLoader uses InMemoryDataset.batch (native gather): batches are
+    identical to the per-item stacking path, shuffle order included."""
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+
+    rng = np.random.default_rng(7)
+    inputs = rng.random((13, 4, 4, 2)).astype(np.float32)
+    forcing = rng.random((13, 4, 4, 1)).astype(np.float32)
+    ds = InMemoryDataset(inputs, forcing)
+
+    class NoBatch:
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            return ds[i]
+
+    for shuffle in (False, True):
+        fast = list(NumpyLoader(ds, batch_size=4, shuffle=shuffle, seed=3))
+        slow = list(NumpyLoader(NoBatch(), batch_size=4, shuffle=shuffle,
+                                seed=3))
+        assert len(fast) == len(slow) == 3
+        for (fi, ff), (si, sf) in zip(fast, slow):
+            np.testing.assert_array_equal(fi, si)
+            np.testing.assert_array_equal(ff, sf)
