@@ -321,7 +321,13 @@ def main():
 def _probe_relay(timeout=45):
     """True iff the TPU relay answers a tiny matmul within `timeout` s
     (when wedged, ALL device ops in ALL processes hang — CLAUDE.md)."""
-    code = ("import jax, jax.numpy as jnp;"
+    # honor the hermetic CPU pin here too: the snippet does not go through
+    # this file's __main__, and sitecustomize force-registers the axon
+    # backend, so without the config update the probe would still hit (and
+    # hang on) a wedged relay even when every phase runs on CPU
+    pin = ("import jax; jax.config.update('jax_platforms', 'cpu');"
+           if os.environ.get("DIFFNET_BENCH_CPU") else "")
+    code = (pin + "import jax, jax.numpy as jnp;"
             "x = jnp.ones((128, 128));"
             "print(float(jnp.sum(x @ x)))")
     try:
@@ -970,34 +976,45 @@ def _guarded():
     the most recent cumulative line on stdout. (The buffered version
     printed nothing until the inner completed, so an outer kill lost
     every banked metric.)"""
+    import select as _select
+    import tempfile
+
     deadline = time.monotonic() + int(
         os.environ.get("DIFFNET_BENCH_TIMEOUT", "3600"))
+    err_file = tempfile.TemporaryFile()
+    # bufsize=0 + raw os.read: select() and the reader see the SAME fd
+    # with no Python-level buffer in between, so a complete line can
+    # never be stranded in a TextIOWrapper while select() blocks
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--inner"],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
-    import selectors
-
-    sel = selectors.DefaultSelector()
-    sel.register(proc.stdout, selectors.EVENT_READ)
+        stdout=subprocess.PIPE, stderr=err_file, bufsize=0)
+    fd = proc.stdout.fileno()
     last_line = None
+    timed_out = False
+    buf = b""
     try:
-        while True:
+        eof = False
+        while not eof:
             left = deadline - time.monotonic()
             if left <= 0:
+                timed_out = True
                 break
-            if not sel.select(timeout=min(left, 30)):
+            r, _, _ = _select.select([fd], [], [], min(left, 30))
+            if not r:
                 if proc.poll() is not None:
                     break
                 continue
-            chunk = proc.stdout.readline()
-            if chunk == "":
-                break  # EOF
-            line = chunk.strip()
-            if line.startswith("{"):
-                print(line, flush=True)
-                last_line = line
+            chunk = os.read(fd, 65536)
+            if not chunk:
+                eof = True
+            buf += chunk
+            while b"\n" in buf:
+                raw, buf = buf.split(b"\n", 1)
+                line = raw.decode("utf-8", "replace").strip()
+                if line.startswith("{"):
+                    print(line, flush=True)
+                    last_line = line
     finally:
-        sel.close()
         if proc.poll() is None:
             # EOF can arrive while the inner is still tearing down the
             # jax runtime — give it a moment before calling it hung
@@ -1019,12 +1036,28 @@ def _guarded():
                     print(json.dumps(d), flush=True)
                 except json.JSONDecodeError:
                     pass
-    printed_any = last_line is not None
-    if not printed_any:
+    if last_line is None:
+        # distinguish "the inner crashed before printing JSON" (exit code +
+        # stderr tail survive) from "the relay wedged and we timed out"
+        rc = proc.poll()
+        try:
+            err_file.seek(0, os.SEEK_END)
+            size = err_file.tell()
+            err_file.seek(max(0, size - 500))
+            err_tail = err_file.read().decode("utf-8", "replace")
+        except Exception:
+            err_tail = "<stderr unavailable>"
+        if timed_out or rc is None:
+            msg = ("TPU device hung (relay wedge) — bench timed out; "
+                   f"stderr tail: {err_tail!r}")
+        else:
+            msg = (f"inner bench exited rc={rc} before printing JSON; "
+                   f"stderr tail: {err_tail!r}")
         print(json.dumps({
             "metric": "element_residual_evals_per_sec_512sq_poisson",
             "value": 0.0, "unit": "elem/s", "vs_baseline": 0.0,
-            "error": "TPU device hung (relay wedge) — bench timed out"}))
+            "error": msg}))
+    err_file.close()
 
 
 if __name__ == "__main__":

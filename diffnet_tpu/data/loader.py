@@ -46,6 +46,8 @@ class InMemoryDataset:
         exposing ``batch`` must keep it consistent with ``__getitem__``)."""
         from ..utils.native import gather_batch
 
+        idx = np.asarray(idx, np.int64)
+        idx = np.where(idx < 0, idx + len(self), idx)
         return (gather_batch(np.asarray(self.inputs), idx),
                 gather_batch(np.asarray(self.forcing), idx))
 
@@ -141,6 +143,10 @@ class NumpyLoader:
             self._rng.shuffle(order)
         nb = len(self)
         batch_fn = getattr(self.dataset, "batch", None)
+        if not callable(batch_fn):
+            # only opt in on a callable `batch` (a dataset with an
+            # unrelated attribute of that name keeps the per-item path)
+            batch_fn = None
         for b in range(nb):
             idx = order[b * self.batch_size:(b + 1) * self.batch_size]
             if batch_fn is not None:

@@ -97,12 +97,11 @@ def solve_linear(residual_fn: Callable, shape, method: str = "cg",
         if is_tree:
             raise ValueError("assemble='stencil' supports grid operators "
                              "only, not pytree/mixed systems")
-        from .stencil import extract_stencil, stencil_matvec
+        from .stencil import extract_verified, stencil_matvec
 
-        C = extract_stencil(A, zero.shape, width=stencil_width)
         # verify against the matrix-free probe already computed above
-        got = stencil_matvec(C, probe, width=stencil_width)
-        defect = float(tnorm(got - A1) / scale)
+        C, defect = extract_verified(A, zero.shape, width=stencil_width,
+                                     probe=probe, want=A1)
         if defect > 1e-4:
             raise ValueError(
                 f"operator is not a width-{stencil_width} stencil "
@@ -151,6 +150,29 @@ def module_linear_solve(module, inputs_tensor=None, forcing_tensor=None,
     """
     import numpy as np
 
+    if getattr(module, "eq_type", None) == "stokes":
+        # mixed systems route to the block-preconditioned solver (the
+        # scalar-field machinery below assumes one nodal unknown). The
+        # routed solver has its own method/preconditioner/assembly, so
+        # reject explicitly-passed scalar-path knobs instead of silently
+        # ignoring them; call stokes_linear_solve directly for its knobs.
+        if method != "cg" or M is not None or assemble is not None \
+                or forcing_tensor is not None:
+            raise ValueError(
+                "Stokes modules route to stokes_linear_solve "
+                "(block-preconditioned gmres over the mixed residual); "
+                "method/M/assemble/forcing_tensor do not apply — call "
+                "stokes_linear_solve directly to set its parameters")
+        if tol < 1e-6:
+            import warnings
+            warnings.warn(
+                f"Stokes route clamps tol {tol:g} -> 1e-6: the f32 "
+                "preconditioned GMRES hits the float Arnoldi floor there "
+                "(NaN breakdown past convergence); run stokes_linear_solve "
+                "yourself to override", stacklevel=2)
+            tol = 1e-6
+        return stokes_linear_solve(module, inputs_tensor=inputs_tensor,
+                                   maxiter=maxiter or 100, tol=tol)
     if inputs_tensor is None:
         if module.dataset is None:
             raise ValueError("no inputs given and module.dataset is None")
@@ -158,12 +180,6 @@ def module_linear_solve(module, inputs_tensor=None, forcing_tensor=None,
     inputs = jnp.asarray(inputs_tensor)[None]
     forcing = (jnp.asarray(forcing_tensor)[None]
                if forcing_tensor is not None else None)
-
-    if getattr(module, "eq_type", None) == "stokes":
-        # mixed systems route to the block-preconditioned solver (the
-        # scalar-field machinery below assumes one nodal unknown)
-        return stokes_linear_solve(module, inputs_tensor=inputs_tensor,
-                                   maxiter=maxiter or 100, tol=max(tol, 1e-6))
     res_hook = getattr(module, "residual_for_field", None)
     if res_hook is None:
         raise ValueError(
@@ -362,17 +378,10 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
             # width-3 stencil, so extraction is exact there too). Falls
             # back to matrix-free if the factory's operator is wider than
             # deg-1 (verified by probe).
-            from .stencil import extract_stencil, stencil_diag, \
+            from .stencil import extract_verified, stencil_diag, \
                 stencil_matvec
 
-            C = extract_stencil(A, (n,) * nsd)
-            probe = jnp.asarray(
-                np.random.default_rng(1).standard_normal((n,) * nsd),
-                jnp.float32)
-            want = A(probe)
-            got = stencil_matvec(C, probe)
-            defect = float(jnp.linalg.norm(got - want)
-                           / (jnp.linalg.norm(want) + 1e-30))
+            C, defect = extract_verified(A, (n,) * nsd)
             if defect <= 1e-4:
                 A = jax.jit(lambda u, C=C: stencil_matvec(C, u))
                 diag = np.asarray(stencil_diag(C))

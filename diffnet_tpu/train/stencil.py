@@ -47,7 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["extract_stencil", "stencil_matvec", "stencil_diag",
-           "assemble_stencil"]
+           "extract_verified", "assemble_stencil"]
 
 
 def _offsets(width: int, nsd: int):
@@ -98,7 +98,6 @@ def extract_stencil(A: Callable, shape, width: int = 3, nsd: int | None = None):
                 c = c * width + (rc + kc) % width
             sl = lead + tuple(slice(rc, None, width) for rc in r_idx)
             C[(m,) + sl] = outs[(c,) + sl]
-    del h
     return jnp.asarray(C)
 
 
@@ -135,6 +134,38 @@ def stencil_diag(C, width: int = 3, nsd: int | None = None):
     return C[center]
 
 
+def extract_verified(A: Callable, shape, width: int = 3,
+                     nsd: int | None = None, probe=None, want=None):
+    """:func:`extract_stencil` plus a one-probe defect check — the shared
+    core of every extract-then-verify consumer (``solve_linear``'s
+    ``assemble='stencil'``, multigrid level assembly, and
+    :func:`assemble_stencil`; each applies its own raise-vs-fallback
+    policy to the returned defect).
+
+    probe/want: reuse an already-evaluated random field and its
+    matrix-free image ``A(probe)`` (skips one operator application);
+    generated here when omitted.
+
+    Returns ``(C, defect)`` with ``defect`` the relative L2 mismatch of
+    the stencil matvec against the matrix-free operator on the probe —
+    > ~1e-4 means the operator is wider than ``width`` (pass
+    ``width=2*deg+1`` for deg-d elements) or not a stencil at all.
+    """
+    shape = tuple(int(s) for s in shape)
+    if nsd is None:
+        nsd = len(shape)
+    C = extract_stencil(A, shape, width=width, nsd=nsd)
+    if probe is None:
+        probe = jax.random.normal(jax.random.key(0), shape, jnp.float32)
+        want = None
+    if want is None:
+        want = A(probe)
+    got = stencil_matvec(C, probe, width=width, nsd=nsd)
+    defect = float(jnp.linalg.norm(got - want)
+                   / (jnp.linalg.norm(want) + 1e-30))
+    return C, defect
+
+
 def assemble_stencil(residual_fn: Callable, shape, width: int = 3,
                      nsd: int | None = None, verify: bool = True,
                      rtol: float = 1e-4):
@@ -156,21 +187,14 @@ def assemble_stencil(residual_fn: Callable, shape, width: int = 3,
     b = -residual_fn(zero)
 
     def A(u):
-        return residual_fn(u) - residual_fn(zero)
+        return residual_fn(u) + b
 
-    C = extract_stencil(A, shape, width=width, nsd=nsd)
-
+    C, defect = extract_verified(A, shape, width=width, nsd=nsd)
     matvec = jax.jit(lambda u: stencil_matvec(C, u, width=width, nsd=nsd))
-    if verify:
-        probe = jax.random.normal(jax.random.key(0), shape, jnp.float32)
-        want = A(probe)
-        got = matvec(probe)
-        err = float(jnp.linalg.norm(got - want)
-                    / (jnp.linalg.norm(want) + 1e-30))
-        if err > rtol:
-            raise ValueError(
-                f"operator is not a width-{width} stencil on the trailing "
-                f"{nsd} axes (relative defect {err:.2e}); for deg-d "
-                "elements pass width=2*deg+1, and for nonlocal operators "
-                "use the matrix-free path")
+    if verify and defect > rtol:
+        raise ValueError(
+            f"operator is not a width-{width} stencil on the trailing "
+            f"{nsd} axes (relative defect {defect:.2e}); for deg-d "
+            "elements pass width=2*deg+1, and for nonlocal operators "
+            "use the matrix-free path")
     return matvec, b, C

@@ -86,16 +86,28 @@ def main():
         m = AllenCahnIceMelt(DirectField((n, n), init=ds.initial_guess), ds,
                              domain_size=n, batch_size=1)
         if args.solver == "direct":
-            from diffnet_tpu.train import newton_solve
+            from diffnet_tpu.train import newton_solve, solve_linear
 
             jin = jnp.asarray(ds[0][0])[None]
             bc1, bc2 = jin[..., 1], jin[..., 2]
 
+            # stage 1 (A=0 homotopy): with the double-well dropped the
+            # system is AFFINE — one Krylov call gives the warm start the
+            # cold double-well Newton needs (same staging as
+            # tests/test_linear_solve.py::test_newton_allen_cahn_mms)
+            m1 = AllenCahnIceMelt(None, ds, domain_size=n, batch_size=1,
+                                  ac_A=0.0)
+
+            def F1(u):
+                return m1.residual(m1.apply_bcs(u[None], jin), bc1, bc2)[0]
+
+            u_lin, _ = solve_linear(F1, (n, n), method="gmres", tol=1e-8,
+                                    maxiter=400, restart=30)
+
             def F(u):
                 return m.residual(m.apply_bcs(u[None], jin), bc1, bc2)[0]
 
-            x, info = newton_solve(F, jnp.asarray(ds.initial_guess,
-                                                  jnp.float32),
+            x, info = newton_solve(F, u_lin,
                                    newton_iters=30, gmres_iters=150,
                                    restart=25, tol=1e-8)
             print(f"newton iters: {info['newton_iters']}  "

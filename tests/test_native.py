@@ -160,3 +160,33 @@ def test_loader_native_batch_fast_path():
         for (fi, ff), (si, sf) in zip(fast, slow):
             np.testing.assert_array_equal(fi, si)
             np.testing.assert_array_equal(ff, sf)
+
+
+def test_loader_batch_contract_edges():
+    """Review-fix regressions: (1) a dataset whose `batch` attribute is
+    NOT callable keeps the per-item path instead of crashing; (2)
+    InMemoryDataset.batch honors negative indices exactly like
+    __getitem__ (the documented equivalence contract)."""
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+
+    rng = np.random.default_rng(11)
+    inputs = rng.random((6, 3, 3, 2)).astype(np.float32)
+    forcing = rng.random((6, 3, 3, 1)).astype(np.float32)
+    ds = InMemoryDataset(inputs, forcing)
+
+    class OddBatchAttr:
+        batch = 4  # innocent non-callable attribute named `batch`
+
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            return ds[i]
+
+    got = list(NumpyLoader(OddBatchAttr(), batch_size=2))
+    assert len(got) == 3
+    np.testing.assert_array_equal(got[0][0], inputs[:2])
+
+    bi, bf = ds.batch([-1, 0])
+    np.testing.assert_array_equal(bi[0], inputs[-1])
+    np.testing.assert_array_equal(bf[1], forcing[0])
