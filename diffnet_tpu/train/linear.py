@@ -250,17 +250,27 @@ def _full_weight_halve(a, nsd):
 def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
                              n_smooth: int = 3, inputs_per_level=None,
                              nsd: int = 2, coarse_op: str = "rediscretize",
-                             assemble: str = "stencil"):
+                             assemble: str = "stencil",
+                             smoother: str = "chebyshev",
+                             cheb_alpha: float = 4.0):
     """Matrix-free geometric-multigrid V-cycle preconditioner M ~ A^-1 for
     :func:`solve_linear` on node-aligned grid hierarchies (n = 2^k + 1).
 
     TPU-idiomatic: every level's operator is the module's own fused
     residual assembly (element-tensor / GP pipeline), the prolongation is
     `train.continuation.prolong_field`, restriction is its exact adjoint
-    (one `jax.vjp`), smoothing is damped Richardson with the step sized by
-    a power-iteration estimate of ||A_l||, and the coarsest level is a
-    dense pseudo-inverse built once by probing. All components are LINEAR,
-    so M is a valid (fixed) preconditioner for CG.
+    (one `jax.vjp`), and the coarsest level is a dense pseudo-inverse
+    built once by probing. All components are LINEAR, so M is a valid
+    (fixed) preconditioner for CG.
+
+    smoother: ``'chebyshev'`` (default) runs a degree-``n_smooth``
+    Chebyshev polynomial in the Jacobi-preconditioned operator D⁻¹A
+    targeting the upper eigenvalue band [λmax/cheb_alpha, λmax] (the
+    classic three-term recurrence; λmax from the setup-time power
+    iteration, 1.1× safety). Inner-product-free at run time — the
+    TPU-native choice: no host syncs, all matvecs, and per sweep it
+    damps the high band like ~cheb_alpha damped-Jacobi steps.
+    ``'jacobi'`` keeps damped Jacobi with ω = 0.8/λmax.
 
     module_factory(n) -> module exposing residual_for_field (the same
     factory contract as `continuation.coarse_to_fine`). Returns (M, info)
@@ -291,6 +301,10 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
     import numpy as np
 
     from .continuation import prolong_field
+
+    if smoother not in ("chebyshev", "jacobi"):
+        raise ValueError(f"unknown smoother {smoother!r} "
+                         "(expected 'chebyshev' or 'jacobi')")
 
     # grid hierarchy n_fine -> ... -> n_coarse (node-aligned halvings)
     ns = [n_fine]
@@ -336,7 +350,7 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
         def inputs_per_level(n, _levels=levels_inputs):
             return _levels[n]
 
-    ops, omegas, invdiags = [], [], []
+    ops, omegas, invdiags, lams = [], [], [], []
     for li, n in enumerate(ns):
         if coarse_op == "galerkin" and li > 0:
             # A_l = P^T A_{l-1} P, matrix-free through the finer operator
@@ -412,6 +426,10 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
         ops.append(A)
         invdiags.append(invdiag)
         omegas.append(0.8 / max(lam, 1e-30))
+        # Chebyshev needs an UPPER bound on lam(Dinv A): power iteration
+        # converges from below, so pad it (an underestimate would AMPLIFY
+        # the modes beyond lmax instead of damping them)
+        lams.append(1.1 * max(lam, 1e-30))
 
     # coarsest: dense pseudo-inverse by probing (Dirichlet rows are zero
     # rows -> pinv leaves them at zero, which is exactly right). ONE
@@ -429,16 +447,40 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
     # (the coarse grid's true cond is ~(n_coarse-1)^2, far above 1e-5)
     A0_pinv = jnp.asarray(np.linalg.pinv(A0, rcond=1e-5), jnp.float32)
 
-    def smooth(A, omega, invdiag, u, b, k):
-        for _ in range(k):
-            u = u + omega * invdiag * (b - A(u))
+    def smooth(level, u, b, k):
+        A, invdiag = ops[level], invdiags[level]
+        if smoother == "jacobi":
+            omega = omegas[level]
+            for _ in range(k):
+                u = u + omega * invdiag * (b - A(u))
+            return u
+        # degree-k Chebyshev in Dinv A on [lmax/cheb_alpha, lmax]
+        # (three-term recurrence, residual updated incrementally:
+        # r_new = b - A(u + d) = r - A d). Coefficients are Python
+        # floats fixed at trace time -> the smoother is linear in b,
+        # as the outer CG requires of a preconditioner.
+        lmax = lams[level]
+        lmin = lmax / cheb_alpha
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma = theta / delta
+        r = b - A(u)
+        d = invdiag * r / theta
+        u = u + d
+        rho_prev = 1.0 / sigma
+        for _ in range(k - 1):
+            r = r - A(d)
+            rho = 1.0 / (2.0 * sigma - rho_prev)
+            d = (rho * rho_prev) * d + (2.0 * rho / delta) * (invdiag * r)
+            u = u + d
+            rho_prev = rho
         return u
 
     def vcycle(level, b):
-        A, omega, invd = ops[level], omegas[level], invdiags[level]
+        A = ops[level]
         if level == len(ns) - 1:
             return (A0_pinv @ b.reshape(-1)).reshape(b.shape)
-        u = smooth(A, omega, invd, jnp.zeros_like(b), b, n_smooth)
+        u = smooth(level, jnp.zeros_like(b), b, n_smooth)
         r = b - A(u)
         # restriction = exact adjoint of the node-aligned prolongation
         coarse_shape = (ns[level + 1],) * nsd
@@ -449,10 +491,10 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
         r_c = vjp(r)[0]
         e_c = vcycle(level + 1, r_c)
         u = u + prolong_field(e_c, fine_shape)
-        return smooth(A, omega, invd, u, b, n_smooth)
+        return smooth(level, u, b, n_smooth)
 
     M = jax.jit(lambda v: vcycle(0, v))
-    return M, {"levels": ns, "omegas": omegas}
+    return M, {"levels": ns, "omegas": omegas, "smoother": smoother}
 
 
 class _FieldDataset:

@@ -283,6 +283,45 @@ def test_multigrid_variable_nu_grid_independence():
     assert r_wrong > 10 * rels[129], (r_wrong, rels[129])
 
 
+def test_multigrid_chebyshev_beats_jacobi():
+    """The default Chebyshev smoother (degree-n_smooth three-term
+    recurrence in Dinv A — inner-product-free, same matvec count per
+    sweep as Jacobi) converges markedly faster: measured at 129^2 on a
+    rough RHS, 6 MG-CG iterations reach 3.5e-6 (the f32 floor) vs 4.0e-4
+    for damped Jacobi."""
+    import jax.numpy as jnp
+
+    from diffnet_tpu.train import multigrid_preconditioner
+    from diffnet_tpu.train.linear import solve_linear
+
+    def factory(n):
+        ds = RectangleManufactured(domain_size=n)
+        ds.n_samples = 1
+        return Poisson2D(DirectField((n, n)), ds, domain_size=n,
+                         batch_size=1, loss_type="resmin")
+
+    n = 129
+    m = factory(n)
+    inputs = jnp.asarray(m.dataset[0][0])[None]
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    bc = np.zeros((n, n)); bc[[0, -1], :] = 1; bc[:, [0, -1]] = 1
+    b = jnp.where(jnp.asarray(bc) > 0.5, 0.0, b)
+    forcing = jnp.zeros((1, n, n, 1), jnp.float32)
+
+    def resfn(u):
+        return m.residual_for_field(u[None], inputs, forcing)[0] - b
+
+    rel = {}
+    for sm in ("jacobi", "chebyshev"):
+        M, info = multigrid_preconditioner(factory, n, smoother=sm)
+        assert info["smoother"] == sm
+        u, _ = solve_linear(resfn, (n, n), tol=1e-14, maxiter=6, M=M)
+        rel[sm] = float(jnp.linalg.norm(resfn(u)) / jnp.linalg.norm(b))
+    assert rel["chebyshev"] < 1e-5, rel
+    assert rel["chebyshev"] < rel["jacobi"] / 10, rel
+
+
 def test_multigrid_galerkin_coarse_ops():
     """coarse_op='galerkin' (exact matrix-free RAP) is depth-robust on the
     same variable-nu problem even with the default 9^2 coarsest grid."""
