@@ -518,8 +518,37 @@ class _FieldDataset:
         return self.inputs, self.forcing
 
 
+class _ReactionShifted:
+    """Screened-Poisson adapter for MG hierarchies: the inner Poisson
+    module's residual plus ``sigma * M u`` (consistent Galerkin mass,
+    Dirichlet rows AND columns masked, so the shift is a symmetric PSD
+    perturbation of the operator). Rediscretized per level by wrapping
+    each factory product — the reaction coefficient is resolution-free,
+    so every level's mass term is its own consistent discretization."""
+
+    def __init__(self, inner, sigma):
+        self.inner = inner
+        self.sigma = float(sigma)
+
+    @property
+    def dataset(self):
+        return self.inner.dataset
+
+    def residual_for_field(self, u, inputs_tensor, forcing_tensor):
+        from ..pde.poisson import _squeeze_field
+
+        inner = self.inner
+        R = inner.residual_for_field(u, inputs_tensor, forcing_tensor)
+        uu = _squeeze_field(u)
+        mask = jnp.maximum(inputs_tensor[..., 1], inputs_tensor[..., 2])
+        uu = jnp.where(mask > 0.5, 0.0, uu)
+        gpN = inner.gp_all(uu, ("N",))["N"]
+        Mu = inner.assemble_multi([(gpN, "N")])
+        return R + self.sigma * jnp.where(mask > 0.5, 0.0, Mu)
+
+
 def stokes_block_preconditioner(module, inputs_tensor=None, n_coarse=9,
-                                n_smooth=3):
+                                n_smooth=3, momentum_reaction=0.0):
     """Block-diagonal preconditioner for the PSPG-stabilized Stokes system
     solved through ``residual_for_field`` ({'u','v','p'} pytrees):
 
@@ -540,6 +569,19 @@ def stokes_block_preconditioner(module, inputs_tensor=None, n_coarse=9,
     Anchor: examples/stokes/single_instance/e1_stokes_mms_resmin.py
     (the reference's only Stokes solver is optimizer descent on the
     summed residual norms).
+
+    momentum_reaction = sigma > 0 shifts the momentum hierarchy to the
+    SCREENED Laplacian ``visco*K + sigma*M`` (reaction mass term, bc rows
+    masked, consistently rediscretized on every MG level). With
+    sigma ~ |u|/h this is the pseudo-transient surrogate for the
+    advection block of an NS Jacobian: element scales are K ~ visco,
+    advection ~ |u| h, mass ~ h^2, so the shift caps the preconditioned
+    advection spectrum at O(1) — the viscous-only V-cycle over-corrects
+    advection-dominated modes at high Re and the outer GMRES stalls
+    (measured at 48^2 LDC Re=1000: viscous-only Newton stalls at
+    |F| ~ 7e-4 even with gmres_iters=300 AND Reynolds continuation
+    through Re=650; with the auto shift it converges COLD in 17
+    Newton iterations to 1.5e-7 — see ns_newton_solve).
     """
     import numpy as np
 
@@ -565,9 +607,12 @@ def stokes_block_preconditioner(module, inputs_tensor=None, n_coarse=9,
         ds_fine = _FieldDataset(np.full((n, n), visco, np.float32), mask)
 
         def factory(m_n):
-            return Poisson2D(None, ds_fine if m_n == n else None,
-                             domain_size=m_n, batch_size=1,
-                             loss_type="resmin")
+            m_p = Poisson2D(None, ds_fine if m_n == n else None,
+                            domain_size=m_n, batch_size=1,
+                            loss_type="resmin")
+            if momentum_reaction:
+                return _ReactionShifted(m_p, momentum_reaction)
+            return m_p
 
         M, _ = multigrid_preconditioner(
             factory, n, n_coarse=n_coarse, n_smooth=n_smooth,
@@ -748,7 +793,8 @@ def newton_solve(residual_fn, x0, M=None, newton_iters=20, tol=1e-6,
 
 def ns_newton_solve(module, inputs_tensor=None, newton_iters=20,
                     tol=1e-6, gmres_iters=40, restart=10, n_coarse=9,
-                    n_smooth=3, x0=None, lm0=0.0, verbose=False):
+                    n_smooth=3, x0=None, lm0=0.0, momentum_reaction=0.0,
+                    verbose=False):
     """Newton-Krylov solve of the full-VMS Navier-Stokes mixed system.
 
     TPU-idiomatic Jacobian-free Newton: the Jacobian-vector product of
@@ -769,8 +815,15 @@ def ns_newton_solve(module, inputs_tensor=None, newton_iters=20,
     the now-dominant advection and undamped inexact-Newton stalls at
     |F| ~ 2e-3; ``lm0=1e-3, gmres_iters=100`` (adaptive Levenberg
     damping) solves Re=400 COLD in 16 iterations to 8e-7 (measured,
-    48^2). Re ~ 1000 still stalls (~4e-3) — it needs finer grids for the
-    boundary layers plus an advection-aware smoother; future work.
+    48^2). At Re ~ 1000 Levenberg damping alone stalls (~7e-4 at 48^2,
+    even with gmres_iters=300 and Reynolds continuation) — pass
+    ``momentum_reaction="auto"`` to shift the momentum MG to the
+    screened Laplacian ``visco*K + (|u_bc|/h)*M`` (the pseudo-transient
+    advection surrogate; see stokes_block_preconditioner): with
+    ``lm0=1e-3, gmres_iters=150, restart=30`` LDC Re=1000 then solves
+    COLD in 17 Newton iterations to 1.5e-7 (108 s CPU, 48^2), and
+    Re=100 is unaffected (same 4 iterations). A float value sets the
+    shift sigma directly; 0.0 (default) keeps the pure viscous MG.
     """
     import numpy as np
 
@@ -784,8 +837,17 @@ def ns_newton_solve(module, inputs_tensor=None, newton_iters=20,
         R = module.mixed_residual(f, inputs, None)
         return {k: v[0] for k, v in R.items()}
 
+    if momentum_reaction == "auto":
+        # pseudo-transient shift sized to the advection scale: the element
+        # advection entries are ~ |u| h vs mass ~ h^2, so sigma = |u|/h
+        # caps the preconditioned advection spectrum at O(1). |u| from the
+        # Dirichlet data (the velocity scale of a driven flow).
+        u_scale = max(float(np.abs(module.u_bc).max()),
+                      float(np.abs(module.v_bc).max()), 1e-30)
+        momentum_reaction = u_scale / module.h
     M = stokes_block_preconditioner(module, inputs_tensor=inputs_tensor,
-                                    n_coarse=n_coarse, n_smooth=n_smooth)
+                                    n_coarse=n_coarse, n_smooth=n_smooth,
+                                    momentum_reaction=momentum_reaction)
     x = x0 or {k: jnp.zeros(n_shape, jnp.float32) for k in ("u", "v", "p")}
     x, info = newton_solve(F, x, M=M, newton_iters=newton_iters, tol=tol,
                            gmres_iters=gmres_iters, restart=restart,
