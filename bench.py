@@ -338,11 +338,30 @@ def _probe_relay(timeout=45):
         return False
 
 
+_RECOVERY_BUDGET = [None]  # shared across phases; seconds of wait left
+
+
 def _run_tpu_phase(flag, timeout, probe_timeout=45):
     """_run_phase gated by a relay hang-probe: when the relay is wedged a
     probe fails in `probe_timeout` s instead of the phase eating its full
-    timeout, keeping the whole run inside the outer 2400 s guard."""
-    if not _probe_relay(probe_timeout):
+    timeout, keeping the whole run inside the outer 3600 s guard.
+
+    On probe failure the phase WAITS for relay recovery on a shared
+    budget (DIFFNET_BENCH_RECOVERY_WAIT, default 600 s total across the
+    whole run, probe time counted): measured 2026-08-17, the relay wedged
+    immediately after the primary metric and starved every later phase —
+    short wedges DO clear within minutes, and the budget bounds the cost
+    when they don't (long outages skip the remaining phases as before)."""
+    if _RECOVERY_BUDGET[0] is None:
+        _RECOVERY_BUDGET[0] = int(
+            os.environ.get("DIFFNET_BENCH_RECOVERY_WAIT", "600"))
+    ok = _probe_relay(probe_timeout)
+    while not ok and _RECOVERY_BUDGET[0] > 0:
+        wait = min(60, _RECOVERY_BUDGET[0])
+        time.sleep(wait)
+        _RECOVERY_BUDGET[0] -= wait + probe_timeout
+        ok = _probe_relay(probe_timeout)
+    if not ok:
         key = flag.strip("-").replace("-", "_") + "_error"
         return {key: "skipped: relay wedged (hang-probe timed out)"}
     return _run_phase(flag, timeout)

@@ -49,7 +49,15 @@ def main():
     if args.solver == "newton":
         from diffnet_tpu.train import ns_newton_solve
 
-        (u, v, pr), info = ns_newton_solve(module)
+        # advection-dominated regimes need the damped + reaction-shifted
+        # configuration (see ns_newton_solve docstring: Re=400 stalls
+        # undamped, Re=1000 stalls without the screened-Laplacian shift)
+        high_re = args.re >= 400
+        (u, v, pr), info = ns_newton_solve(
+            module, lm0=(1e-3 if high_re else 0.0),
+            momentum_reaction=("auto" if high_re else 0.0),
+            gmres_iters=(150 if high_re else 40),
+            restart=(30 if high_re else 10), newton_iters=30)
         print(f"newton iters: {info['newton_iters']}  "
               f"|F|: {info['residual_history'][-1]:.3e}")
     else:

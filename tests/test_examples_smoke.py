@@ -81,6 +81,31 @@ def test_more_physics_cli_smoke(tmp_path, physics):
     assert os.path.isdir(tmp_path / physics / "version_0")
 
 
+def test_ldc_validation_script_re1000(tmp_path):
+    """Rot guard for the scripts/ surface at its most demanding setting:
+    the Ghia Re=1000 Newton path (reaction-shifted preconditioner,
+    unregularized lid, hardcoded Ghia table — no reference-mount
+    dependence). Tiny 33^2 keeps it ~1 min; the measured headline
+    (129^2: Ghia midline max errs u 0.0356 / v 0.0375 via 33->65->129
+    grid continuation) is recorded in docs/SOLVERS.md."""
+    import importlib.util
+
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "ldc_validation.py")
+    spec = importlib.util.spec_from_file_location("ldc_validation", script)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "ghia.png")
+    old = sys.argv
+    try:
+        sys.argv = ["x", "--re", "1000", "--solver", "newton",
+                    "--domain-size", "33", "--out", out]
+        mod.main()
+    finally:
+        sys.argv = old
+    assert os.path.exists(out)
+
+
 def test_klsum_uq_then_query_run_chain(tmp_path):
     """The train -> versioned-run-dir -> query pipeline (reference
     run-query.sh:20 + query.py:192-207 convention)."""
