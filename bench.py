@@ -339,6 +339,7 @@ def _probe_relay(timeout=45):
 
 
 _RECOVERY_BUDGET = [None]  # shared across phases; seconds of wait left
+_PROC_T0 = time.monotonic()
 
 
 def _run_tpu_phase(flag, timeout, probe_timeout=45):
@@ -351,12 +352,18 @@ def _run_tpu_phase(flag, timeout, probe_timeout=45):
     whole run, probe time counted): measured 2026-08-17, the relay wedged
     immediately after the primary metric and starved every later phase —
     short wedges DO clear within minutes, and the budget bounds the cost
-    when they don't (long outages skip the remaining phases as before)."""
+    when they don't (long outages skip the remaining phases as before).
+    Waiting is also cut off once this process has used half the outer
+    DIFFNET_BENCH_TIMEOUT guard: the phase timeouts alone sum to ~2800 s
+    against the 3600 s guard, and a late wedge+recovery must not push the
+    deliberately-last steps/pallas phases past the outer kill."""
     if _RECOVERY_BUDGET[0] is None:
         _RECOVERY_BUDGET[0] = int(
             os.environ.get("DIFFNET_BENCH_RECOVERY_WAIT", "600"))
+    half_guard = 0.5 * int(os.environ.get("DIFFNET_BENCH_TIMEOUT", "3600"))
     ok = _probe_relay(probe_timeout)
-    while not ok and _RECOVERY_BUDGET[0] > 0:
+    while (not ok and _RECOVERY_BUDGET[0] > 0
+           and time.monotonic() - _PROC_T0 < half_guard):
         wait = min(60, _RECOVERY_BUDGET[0])
         time.sleep(wait)
         _RECOVERY_BUDGET[0] -= wait + probe_timeout

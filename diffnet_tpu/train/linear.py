@@ -305,6 +305,11 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
     if smoother not in ("chebyshev", "jacobi"):
         raise ValueError(f"unknown smoother {smoother!r} "
                          "(expected 'chebyshev' or 'jacobi')")
+    if smoother == "chebyshev" and not cheb_alpha > 1.0:
+        raise ValueError(
+            f"cheb_alpha must be > 1 (got {cheb_alpha}): the smoothing "
+            "band is [lmax/cheb_alpha, lmax], and alpha <= 1 collapses "
+            "it (delta <= 0 -> NaN recurrence)")
 
     # grid hierarchy n_fine -> ... -> n_coarse (node-aligned halvings)
     ns = [n_fine]

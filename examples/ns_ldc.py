@@ -49,6 +49,12 @@ def main():
     if args.solver == "newton":
         from diffnet_tpu.train import ns_newton_solve
 
+        if n % 2 == 0:
+            raise SystemExit(
+                f"--solver newton needs an odd --domain-size (got {n}): "
+                "the momentum-MG hierarchy halves node-aligned grids "
+                "(2^k + 1); an even n degenerates it to a dense "
+                "pseudo-inverse of the full fine operator")
         # advection-dominated regimes need the damped + reaction-shifted
         # configuration (see ns_newton_solve docstring: Re=400 stalls
         # undamped, Re=1000 stalls without the screened-Laplacian shift)

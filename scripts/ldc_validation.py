@@ -82,7 +82,10 @@ def _solve_newton(n, re):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--re", type=int, default=100, choices=[1, 100, 400, 1000])
+    # choices are the Re values with benchmark data to validate AGAINST:
+    # reference-repo files at 1/100, the Ghia table at 1000 (plain solves
+    # at other Re: examples/ns_ldc.py)
+    p.add_argument("--re", type=int, default=100, choices=[1, 100, 1000])
     p.add_argument("--domain-size", type=int, default=48)
     p.add_argument("--max-epochs", type=int, default=500)
     p.add_argument("--solver", choices=("train", "newton"), default="train",

@@ -85,9 +85,10 @@ def test_ldc_validation_script_re1000(tmp_path):
     """Rot guard for the scripts/ surface at its most demanding setting:
     the Ghia Re=1000 Newton path (reaction-shifted preconditioner,
     unregularized lid, hardcoded Ghia table — no reference-mount
-    dependence). Tiny 33^2 keeps it ~1 min; the measured headline
-    (129^2: Ghia midline max errs u 0.0356 / v 0.0375 via 33->65->129
-    grid continuation) is recorded in docs/SOLVERS.md."""
+    dependence). Tiny 17^2 keeps it ~15 s (plumbing guard only — the
+    Re=1000 physics assertion lives in test_flow.py, and the measured
+    headline — 129^2: Ghia midline max errs u 0.0356 / v 0.0375 via
+    33->65->129 grid continuation — in docs/SOLVERS.md)."""
     import importlib.util
 
     script = os.path.join(os.path.dirname(__file__), "..", "scripts",
@@ -99,7 +100,7 @@ def test_ldc_validation_script_re1000(tmp_path):
     old = sys.argv
     try:
         sys.argv = ["x", "--re", "1000", "--solver", "newton",
-                    "--domain-size", "33", "--out", out]
+                    "--domain-size", "17", "--out", out]
         mod.main()
     finally:
         sys.argv = old
