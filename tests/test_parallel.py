@@ -275,3 +275,63 @@ def test_stencil_matvec_spatially_sharded_matches():
             x0=jax.device_put(jnp.zeros((n, n), jnp.float32), sh))
     np.testing.assert_allclose(np.asarray(u_single), np.asarray(u_sharded),
                                atol=2e-4)
+
+
+def test_multigrid_spatially_sharded_matches():
+    """The full MG V-cycle is SPMD-transparent: with the fine-level field
+    spatially sharded over the mesh, the jitted V-cycle (Chebyshev
+    smoothing matvecs + vjp restriction + prolongation + the probed
+    coarse pinv) and 8 MG-CG iterations over it match the unsharded
+    results. The hierarchy needs n = 2^k + 1, so the mesh uses 5 of the
+    8 virtual devices (65 = 5 x 13 rows/shard; GSPMD chooses shardings
+    for the coarser levels internally — explicit device_put requires
+    divisibility only at the fine level)."""
+    from jax.sharding import Mesh
+
+    from diffnet_tpu.data.single_instances import RectangleManufactured
+    from diffnet_tpu.models.field import DirectField
+    from diffnet_tpu.pde import Poisson2D
+    from diffnet_tpu.train import multigrid_preconditioner
+    from diffnet_tpu.train.linear import solve_linear
+
+    n = 65
+    mesh = Mesh(np.array(jax.devices()[:5]).reshape(5,), ("space",))
+    sh = NamedSharding(mesh, P("space", None))
+
+    def factory(m_n):
+        ds = RectangleManufactured(domain_size=m_n)
+        ds.n_samples = 1
+        return Poisson2D(DirectField((m_n, m_n)), ds, domain_size=m_n,
+                         batch_size=1, loss_type="resmin")
+
+    M, _ = multigrid_preconditioner(factory, n)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    want = np.asarray(M(v))
+    with mesh:
+        got = np.asarray(M(jax.device_put(v, sh)))
+    np.testing.assert_allclose(want, got,
+                               atol=2e-6 * np.abs(want).max())
+
+    m = factory(n)
+    inputs = jnp.asarray(m.dataset[0][0])[None]
+    forcing = jnp.zeros((1, n, n, 1), jnp.float32)
+    bcm = np.zeros((n, n)); bcm[[0, -1], :] = 1; bcm[:, [0, -1]] = 1
+    b = jnp.where(jnp.asarray(bcm) > 0.5, 0.0,
+                  jnp.asarray(rng.standard_normal((n, n)), jnp.float32))
+
+    def resfn(u):
+        return m.residual_for_field(u[None], inputs, forcing)[0] - b
+
+    u_single, _ = solve_linear(resfn, (n, n), tol=1e-12, maxiter=8, M=M)
+    b_s = jax.device_put(b, sh)
+
+    def resfn_s(u):
+        return m.residual_for_field(u[None], inputs, forcing)[0] - b_s
+
+    with mesh:
+        u_sharded, _ = solve_linear(
+            resfn_s, (n, n), tol=1e-12, maxiter=8, M=M,
+            x0=jax.device_put(jnp.zeros((n, n), jnp.float32), sh))
+    np.testing.assert_allclose(np.asarray(u_single), np.asarray(u_sharded),
+                               atol=2e-5)
