@@ -376,19 +376,38 @@ def _run_tpu_phase(flag, timeout, probe_timeout=45):
 
 def _run_phase(flag, timeout):
     """Run `python bench.py <flag>` in a subprocess; return its last JSON
-    line, or an error marker on timeout/failure."""
+    line, or an error marker on timeout/failure.
+
+    Phases that can wedge mid-run (largegrid, pallas probe) print the
+    CUMULATIVE JSON after each banked step, so on timeout the killed
+    child's captured stdout is still parsed — whatever banked before the
+    hang is salvaged alongside the timeout marker."""
     key = flag.strip("-").replace("-", "_") + "_error"
+
+    def _last_json(stdout):
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode("utf-8", "replace")
+        for line in reversed((stdout or "").splitlines()):
+            line = line.strip()
+            if line.startswith("{") and line.endswith("}"):
+                try:
+                    return json.loads(line)
+                except ValueError:
+                    continue
+        return None
+
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), flag],
             capture_output=True, text=True, timeout=timeout)
-        for line in reversed(out.stdout.splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                return json.loads(line)
+        got = _last_json(out.stdout)
+        if got is not None:
+            return got
         return {key: f"no JSON: {out.stdout[-200:]} {out.stderr[-200:]}"}
-    except subprocess.TimeoutExpired:
-        return {key: "phase timed out (relay wedge?)"}
+    except subprocess.TimeoutExpired as e:
+        got = _last_json(e.stdout) or {}
+        got[key] = "phase timed out (relay wedge?)"
+        return got
     except Exception as e:
         return {key: str(e)[:200]}
 
@@ -703,29 +722,36 @@ def _pallas_probe():
         pl.pallas_call = functools.partial(pl.pallas_call, interpret=True)
 
     out = {}
-    for n, bs, iters in ((64, 4, 5), (512, 32, 10)):
-        h = 1.0 / (n - 1)
-        basis = make_basis(2, 1, h=(h, h))
-        rng = np.random.default_rng(0)
-        u = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
-        nu = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
-        f_gp = jnp.asarray(rng.random((bs, n-1, n-1, 4)), jnp.float32)
-        bc = jnp.zeros((n, n)).at[0, :].set(1.0).at[-1, :].set(1.0)
-        Nf = jax.jit(lambda f: fem.galerkin_project(
-            f, basis, "N", (n, n)))(f_gp)
-        fn = jax.jit(lambda u, nu, Nf=Nf, bc=bc, basis=basis:
-                     poisson_residual_fused(u, nu, Nf, bc, basis)
-                     * 1e-6 + u)
-        r = fn(u, nu)
-        _ = float(jnp.sum(r))  # compile + execute + readback
-        out[f"pallas_probe_{n}_ok"] = True
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = fn(r, nu)
-        _ = float(jnp.sum(r))
-        t = (time.perf_counter() - t0) / iters
-        out[f"pallas_fused_elem_per_sec_{n}sq"] = float(
-            f"{bs * (n-1)**2 / t:.4g}")
+    # blockspec first: no manual DMA/semaphores — the DMA variant is the
+    # one that hung this relay (at its first cp.wait()); if blockspec also
+    # wedges, the watchdog kills the phase before the dma attempt anyway
+    for variant in ("blockspec", "dma"):
+        for n, bs, iters in ((64, 4, 5), (512, 32, 10)):
+            h = 1.0 / (n - 1)
+            basis = make_basis(2, 1, h=(h, h))
+            rng = np.random.default_rng(0)
+            u = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
+            nu = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
+            f_gp = jnp.asarray(rng.random((bs, n-1, n-1, 4)), jnp.float32)
+            bc = jnp.zeros((n, n)).at[0, :].set(1.0).at[-1, :].set(1.0)
+            Nf = jax.jit(lambda f: fem.galerkin_project(
+                f, basis, "N", (n, n)))(f_gp)
+            fn = jax.jit(lambda u, nu, Nf=Nf, bc=bc, basis=basis:
+                         poisson_residual_fused(u, nu, Nf, bc, basis,
+                                                variant=variant)
+                         * 1e-6 + u)
+            r = fn(u, nu)
+            _ = float(jnp.sum(r))  # compile + execute + readback
+            out[f"pallas_probe_{variant}_{n}_ok"] = True
+            print(json.dumps(out), flush=True)  # bank per-step progress
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                r = fn(r, nu)
+            _ = float(jnp.sum(r))
+            t = (time.perf_counter() - t0) / iters
+            out[f"pallas_fused_elem_per_sec_{n}sq_{variant}"] = float(
+                f"{bs * (n-1)**2 / t:.4g}")
+            print(json.dumps(out), flush=True)
     return out
 
 

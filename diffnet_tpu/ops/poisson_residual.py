@@ -56,27 +56,15 @@ def _build_tables(basis: FEMBasis):
     return NT, DXT, DYT, jxw
 
 
-def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TY, n, nel):
+def _strip_lr(u, nu, row0, tables, TY, nel):
+    """Assembled Q1 contributions for output node rows [row0, row0+TY).
+
+    `u`/`nu` are (TY+2, >=nel+1) node strips covering PADDED rows
+    [row0, row0+TY+2) — i.e. real node rows [row0-1, row0+TY+1) under the
+    1-top-pad-row convention shared by both kernel variants. Returns
+    (left, right): left is the ib=0 column contribution for node cols
+    [0, nel), right the ib=1 contribution for node cols [1, n)."""
     NT, DXT, DYT, jxw = tables
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-
-    # halo strip: padded node rows [t*TY, t*TY + TY + 2) == real node rows
-    # [t*TY - 1, t*TY + TY + 1); full (128-aligned) padded column width
-    row0 = t * TY
-    # strip height TY+8 (DMA row slices must be 8-aligned); only the first
-    # TY+2 rows are used
-    cp_u = pltpu.make_async_copy(u_hbm.at[b, pl.ds(row0, TY + 8), :], u_s,
-                                 sems.at[0])
-    cp_nu = pltpu.make_async_copy(nu_hbm.at[b, pl.ds(row0, TY + 8), :], nu_s,
-                                  sems.at[1])
-    cp_u.start()
-    cp_nu.start()
-    cp_u.wait()
-    cp_nu.wait()
-
-    u = u_s[: TY + 2]
-    nu = nu_s[: TY + 2]
 
     # element corner fields for the TY+1 element rows x nel element cols
     def corners(a):
@@ -103,7 +91,7 @@ def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TY, n, nel):
             contrib = DXT[g][ibf] * gx + DYT[g][ibf] * gy
             acc[ibf] = contrib if acc[ibf] is None else acc[ibf] + contrib
 
-    # Q1 node assembly for output node rows [t*TY, t*TY + TY):
+    # Q1 node assembly for output node rows [row0, row0 + TY):
     # node (j, i) <- elem(j-1+a?, ...): local node row j corresponds to
     # element local rows j (bf row 0) and j+1... mapping:
     #   R[j, i] += acc[2*jb+ib][j+1-jb, i-ib]  for jb, ib in {0,1}
@@ -114,12 +102,103 @@ def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TY, n, nel):
     # jb=0 -> element local row j+1; jb=1 -> element local row j
     left = a0[1:, :] + a2[:TY, :]    # column contribution ib=0 -> cols [0, nel)
     right = a1[1:, :] + a3[:TY, :]   # ib=1 -> cols [1, n)
-    out_ref[0] = jnp.zeros((TY, n), u.dtype)
+    return left, right
+
+
+def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TY, n, nel):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    # halo strip: padded node rows [t*TY, t*TY + TY + 2) == real node rows
+    # [t*TY - 1, t*TY + TY + 1); full (128-aligned) padded column width
+    row0 = t * TY
+    # strip height TY+8 (DMA row slices must be 8-aligned); only the first
+    # TY+2 rows are used
+    cp_u = pltpu.make_async_copy(u_hbm.at[b, pl.ds(row0, TY + 8), :], u_s,
+                                 sems.at[0])
+    cp_nu = pltpu.make_async_copy(nu_hbm.at[b, pl.ds(row0, TY + 8), :], nu_s,
+                                  sems.at[1])
+    cp_u.start()
+    cp_nu.start()
+    cp_u.wait()
+    cp_nu.wait()
+
+    left, right = _strip_lr(u_s[: TY + 2], nu_s[: TY + 2], row0,
+                            tables, TY, nel)
+    out_ref[0] = jnp.zeros((TY, n), left.dtype)
     out_ref[0, :, :nel] = left
     out_ref[0, :, 1:] = out_ref[0, :, 1:] + right
 
 
-def _stiffness_fwd_impl(u, nu, basis: FEMBasis, tile_y: int = 128):
+def _kernel_bs(u_ref, nu_ref, out_ref, *, tables, TY, ntiles, n, nel):
+    """BlockSpec-only variant: the whole (padded) field arrives in VMEM via
+    the automatic pipeline (grid over batch only — no manual DMA, no
+    semaphores, no scratch), and a STATIC Python loop walks row strips so
+    per-strip temporaries stay small. Written after the manual-DMA variant
+    above hung this image's axon relay at its first `cp.wait()`; this one
+    exercises none of that machinery."""
+    for t in range(ntiles):
+        row0 = t * TY
+        left, right = _strip_lr(u_ref[0, row0: row0 + TY + 2, :],
+                                nu_ref[0, row0: row0 + TY + 2, :],
+                                row0, tables, TY, nel)
+        out_ref[0, row0: row0 + TY, :] = jnp.zeros((TY, n), left.dtype)
+        out_ref[0, row0: row0 + TY, :nel] = left
+        out_ref[0, row0: row0 + TY, 1:] = (
+            out_ref[0, row0: row0 + TY, 1:] + right)
+
+
+def _stiffness_fwd_bs(u, nu, basis: FEMBasis, tile_y: int = 128):
+    """BlockSpec-only forward: grid (B,), full padded field per program.
+
+    VMEM budget: with double-buffered in blocks this holds ~2*(u+nu) + out
+    + per-strip temporaries; at 512^2 f32 that is ~6 MB of the ~16 MB
+    VMEM. Guarded to n <= 1024 — beyond that use the DMA variant (or the
+    XLA path)."""
+    B, n, _ = u.shape
+    if n > 1024:
+        raise ValueError(
+            f"blockspec variant holds the full field in VMEM; n={n} > 1024 "
+            "would overflow — use variant='dma' or the XLA path")
+    nel = n - 1
+    TY = min(tile_y, -(-n // 8) * 8)
+    assert TY % 8 == 0 or TY == n, "tile_y must be a multiple of 8"
+    ntiles = -(-n // TY)
+    # 1 top halo pad row; bottom rows so every static strip
+    # [t*TY, t*TY + TY + 2) is in range, rounded to the 8-row sublane
+    # boundary; columns to the 128-lane boundary
+    rows_pad = -(-(ntiles * TY + 2) // 8) * 8
+    CP = -(-n // 128) * 128
+    cfg = ((0, 0), (1, rows_pad - n - 1), (0, CP - n))
+    u_p = jnp.pad(u, cfg)
+    nu_p = jnp.pad(nu, cfg)
+    tables = _build_tables(basis)
+
+    out = pl.pallas_call(
+        partial(_kernel_bs, tables=tables, TY=TY, ntiles=ntiles, n=n,
+                nel=nel),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, rows_pad, CP), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, rows_pad, CP), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ntiles * TY, n), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, ntiles * TY, n), u.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(150 * B * nel * nel),
+            bytes_accessed=int(3 * 4 * B * n * n),
+            transcendentals=0),
+    )(u_p, nu_p)
+    return out[:, :n]
+
+
+def _stiffness_fwd_impl(u, nu, basis: FEMBasis, tile_y: int = 128,
+                        variant: str = "dma"):
+    if variant == "blockspec":
+        return _stiffness_fwd_bs(u, nu, basis, tile_y)
+    if variant != "dma":
+        raise ValueError(f"unknown kernel variant {variant!r} "
+                         "(expected 'dma' or 'blockspec')")
     B, n, _ = u.shape
     nel = n - 1
     TY = min(tile_y, -(-n // 8) * 8)
@@ -158,20 +237,21 @@ def _stiffness_fwd_impl(u, nu, basis: FEMBasis, tile_y: int = 128):
     return out[:, :n]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def poisson_stiffness_action(u, nu, basis: FEMBasis, tile_y: int = 128):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def poisson_stiffness_action(u, nu, basis: FEMBasis, tile_y: int = 128,
+                             variant: str = "dma"):
     """Ku = assembled ∫ nu grad(N_i)·grad(u): [B, n, n] -> [B, n, n]."""
-    return _stiffness_fwd_impl(u, nu, basis, tile_y)
+    return _stiffness_fwd_impl(u, nu, basis, tile_y, variant)
 
 
-def _fwd(u, nu, basis, tile_y):
-    return _stiffness_fwd_impl(u, nu, basis, tile_y), (u, nu)
+def _fwd(u, nu, basis, tile_y, variant):
+    return _stiffness_fwd_impl(u, nu, basis, tile_y, variant), (u, nu)
 
 
-def _bwd(basis, tile_y, res, g):
+def _bwd(basis, tile_y, variant, res, g):
     u, nu = res
     # self-adjoint in u: dL/du = K(nu) g  (same fused kernel)
-    du = _stiffness_fwd_impl(g, nu, basis, tile_y)
+    du = _stiffness_fwd_impl(g, nu, basis, tile_y, variant)
     # d/d(nu): assembled N-projection of grad u · grad g
     gu = fem.gp_eval(u, basis, ("dx", "dy"))
     gg = fem.gp_eval(g, basis, ("dx", "dy"))
@@ -184,7 +264,7 @@ poisson_stiffness_action.defvjp(_fwd, _bwd)
 
 
 def poisson_residual_fused(u, nu, Nf, bc_mask, basis: FEMBasis,
-                           tile_y: int = 128):
+                           tile_y: int = 128, variant: str = "dma"):
     """Full assembled, Dirichlet-masked residual  R = K(nu) u - Nf.
 
     `Nf` is the preassembled load vector ∫ N_i f (constant during training;
@@ -193,5 +273,5 @@ def poisson_residual_fused(u, nu, Nf, bc_mask, basis: FEMBasis,
     if nu.shape != u.shape:
         raise ValueError(f"nu.shape {nu.shape} != u.shape {u.shape} "
                          "(the fused kernel does not broadcast)")
-    R = poisson_stiffness_action(u, nu, basis, tile_y) - Nf
+    R = poisson_stiffness_action(u, nu, basis, tile_y, variant) - Nf
     return jnp.where(bc_mask > 0.5, jnp.zeros_like(R), R)

@@ -30,18 +30,20 @@ def _K_xla(u, nu, basis, n):
             + fem.galerkin_project(nug * gp["dy"], basis, "dy", (n, n)))
 
 
+@pytest.mark.parametrize("variant", ["dma", "blockspec"])
 @pytest.mark.parametrize("n,tile", [(33, 16), (40, 16), (65, 64)])
-def test_stiffness_action_matches_xla(n, tile):
+def test_stiffness_action_matches_xla(n, tile, variant):
     basis = make_basis(2, 1, h=(1 / (n - 1),) * 2)
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.random((2, n, n)), jnp.float32)
     nu = jnp.asarray(rng.random((2, n, n)), jnp.float32)
     Kx = _K_xla(u, nu, basis, n)
-    Kp = pr._stiffness_fwd_impl(u, nu, basis, tile)
+    Kp = pr._stiffness_fwd_impl(u, nu, basis, tile, variant)
     np.testing.assert_allclose(np.asarray(Kp), np.asarray(Kx), atol=2e-6)
 
 
-def test_custom_vjp_matches_xla():
+@pytest.mark.parametrize("variant", ["dma", "blockspec"])
+def test_custom_vjp_matches_xla(variant):
     n, tile = 33, 16
     basis = make_basis(2, 1, h=(1 / (n - 1),) * 2)
     rng = np.random.default_rng(1)
@@ -52,12 +54,21 @@ def test_custom_vjp_matches_xla():
                   argnums=(0, 1))(u, nu)
     g2 = jax.grad(
         lambda u, nu: jnp.sum(
-            pr.poisson_stiffness_action(u, nu, basis, tile) * g),
+            pr.poisson_stiffness_action(u, nu, basis, tile, variant) * g),
         argnums=(0, 1))(u, nu)
     np.testing.assert_allclose(np.asarray(g2[0]), np.asarray(g1[0]),
                                atol=2e-6)
     np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
                                atol=2e-6)
+
+
+def test_blockspec_variant_rejects_oversized_grid():
+    basis = make_basis(2, 1, h=(1.0, 1.0))
+    u = jnp.zeros((1, 1025, 1025), jnp.float32)
+    with pytest.raises(ValueError, match="blockspec"):
+        pr._stiffness_fwd_impl(u, u, basis, 128, "blockspec")
+    with pytest.raises(ValueError, match="variant"):
+        pr._stiffness_fwd_impl(u, u, basis, 128, "nope")
 
 
 def test_residual_fused_full():
