@@ -330,6 +330,78 @@ def test_multigrid_galerkin_coarse_ops():
     assert r < 1e-5, r
 
 
+class _VarNuDataset3D:
+    """Single-sample 3D dataset with a prescribed nu field (left source /
+    right sink Dirichlet faces, zero forcing) — 3D analogue of
+    :class:`_VarNuDataset`."""
+
+    def __init__(self, nu):
+        n = nu.shape[0]
+        bc1 = np.zeros((n, n, n)); bc1[:, :, 0] = 1
+        bc2 = np.zeros((n, n, n)); bc2[:, :, -1] = 1
+        self.inputs = np.stack([nu, bc1, bc2], -1).astype(np.float32)
+        self.forcing = np.zeros((n, n, n, 1), np.float32)
+
+    def __len__(self):
+        return 1
+
+    def __getitem__(self, idx):
+        return self.inputs, self.forcing
+
+
+def test_multigrid_galerkin_variable_nu_3d():
+    """Galerkin-RAP MG-CG on a 3D variable-nu operator with the
+    coefficient KNOWN ONLY on the fine grid (per-level datasets carry
+    unit nu): near-grid-independent convergence 17^3 -> 33^3 at a fixed
+    8-iteration budget. Exercises the one MG combination the 2D tests
+    don't: trilinear transfers + 27-color probed diagonals + matrix-free
+    RAP at nsd=3."""
+    import jax.numpy as jnp
+    from scipy import ndimage
+
+    from diffnet_tpu.pde import Poisson3D
+    from diffnet_tpu.train import multigrid_preconditioner
+    from diffnet_tpu.train.linear import solve_linear
+
+    rng = np.random.default_rng(5)
+    g33 = ndimage.gaussian_filter(rng.standard_normal((33, 33, 33)), 3.3)
+    g33 = g33 / np.abs(g33).max()
+    nu33 = np.exp(2.0 * g33).astype(np.float32)  # ~50x contrast
+
+    rels = {}
+    for n in (17, 33):
+        step = (33 - 1) // (n - 1)
+        nu = nu33[::step, ::step, ::step]
+        ds_fine = _VarNuDataset3D(nu)
+
+        def factory(m_n, _cache={}, ds_fine=ds_fine, n=n):
+            if m_n not in _cache:
+                ds = ds_fine if m_n == n else _VarNuDataset3D(
+                    np.ones((m_n, m_n, m_n), np.float32))
+                _cache[m_n] = Poisson3D(DirectField((m_n, m_n, m_n)), ds,
+                                        domain_size=m_n, batch_size=1,
+                                        loss_type="resmin")
+            return _cache[m_n]
+
+        m = factory(n)
+        inputs = jnp.asarray(ds_fine.inputs)[None]
+        forcing = jnp.asarray(ds_fine.forcing)[None]
+        b = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+        bc = np.zeros((n, n, n)); bc[:, :, [0, -1]] = 1
+        b = jnp.where(jnp.asarray(bc) > 0.5, 0.0, b)
+
+        def resfn(u):
+            return m.residual_for_field(u[None], inputs, forcing)[0] - b
+
+        M, _ = multigrid_preconditioner(
+            factory, n, nsd=3, inputs_per_level="restrict",
+            coarse_op="galerkin")
+        u, _ = solve_linear(resfn, (n, n, n), tol=1e-12, maxiter=8, M=M)
+        rels[n] = float(jnp.linalg.norm(resfn(u)) / jnp.linalg.norm(b))
+    for n, r in rels.items():
+        assert r < 3e-5, (n, rels)
+
+
 def test_stokes_block_preconditioned_gmres():
     """VERDICT r2 item 4: the PSPG Stokes mixed system solved directly by
     block-preconditioned GMRES (MG on the momentum blocks + diagonal
