@@ -752,6 +752,31 @@ def _pallas_probe():
             out[f"pallas_fused_elem_per_sec_{n}sq_{variant}"] = float(
                 f"{bs * (n-1)**2 / t:.4g}")
             print(json.dumps(out), flush=True)
+
+    # 3D blockspec attempt at the reference's voxel scale (64^3)
+    from diffnet_tpu.ops import poisson_residual_fused_3d
+
+    n, bs, iters = 64, 4, 5
+    h = 1.0 / (n - 1)
+    basis = make_basis(3, 1, h=(h, h, h))
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random((bs, n, n, n)), jnp.float32)
+    nu = jnp.asarray(rng.random((bs, n, n, n)), jnp.float32)
+    Nf = jnp.zeros((bs, n, n, n), jnp.float32)
+    bc = jnp.zeros((n, n, n)).at[0].set(1.0).at[-1].set(1.0)
+    fn = jax.jit(lambda u, nu: poisson_residual_fused_3d(
+        u, nu, Nf, bc, basis, variant="blockspec") * 1e-6 + u)
+    r = fn(u, nu)
+    _ = float(jnp.sum(r))
+    out["pallas_probe_blockspec_3d64_ok"] = True
+    print(json.dumps(out), flush=True)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(r, nu)
+    _ = float(jnp.sum(r))
+    t = (time.perf_counter() - t0) / iters
+    out["pallas_fused_elem_per_sec_3d64_blockspec"] = float(
+        f"{bs * (n-1)**3 / t:.4g}")
     return out
 
 

@@ -51,8 +51,53 @@ def _build_tables_3d(basis: FEMBasis):
             [float(v) for v in basis.jxw])
 
 
-def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TZ, n, nel):
+def _slab_contribs(u, nu, row0, tables, TZ, n, nel):
+    """Masked per-basis-function element-layer contributions for output
+    node planes [row0, row0+TZ).
+
+    `u`/`nu` are (>=TZ+2, >=n, >=n) node slabs covering PADDED planes
+    [row0, row0+TZ+2) — real planes [row0-1, row0+TZ+1) under the shared
+    1-top-pad-plane convention. Returns the 8 masked accumulators
+    `a[IBF]` of shape [TZ+1, nel, nel] (IBF = (kbf*2 + jbf)*2 + ibf)."""
     NT, DXT, DYT, DZT, jxw = tables
+
+    def corners(s):
+        # IBF = (kbf*2 + jbf)*2 + ibf, i <-> x fastest (core/fem.py layout)
+        a = s[: TZ + 2, : n, : n]
+        out = []
+        for kbf in (0, 1):
+            for jbf in (0, 1):
+                for ibf in (0, 1):
+                    out.append(a[kbf:kbf + TZ + 1,
+                                 jbf:jbf + nel, ibf:ibf + nel])
+        return out
+
+    uc = corners(u)
+    nc = corners(nu)
+
+    # mask element layers whose global z index is outside [0, nel); y/x
+    # element extents are exact by construction of the corner slices
+    e_lay = (jax.lax.broadcasted_iota(jnp.int32, (TZ + 1, nel, nel), 0)
+             + row0 - 1)
+    valid = jnp.logical_and(e_lay >= 0, e_lay < nel).astype(u.dtype)
+
+    acc = [None] * 8
+    for g in range(8):
+        ux = sum(DXT[g][k] * uc[k] for k in range(8))
+        uy = sum(DYT[g][k] * uc[k] for k in range(8))
+        uz = sum(DZT[g][k] * uc[k] for k in range(8))
+        nug = sum(NT[g][k] * nc[k] for k in range(8))
+        gx = (jxw[g] * nug) * ux
+        gy = (jxw[g] * nug) * uy
+        gz = (jxw[g] * nug) * uz
+        for ibf in range(8):
+            contrib = DXT[g][ibf] * gx + DYT[g][ibf] * gy + DZT[g][ibf] * gz
+            acc[ibf] = contrib if acc[ibf] is None else acc[ibf] + contrib
+
+    return [x * valid for x in acc]
+
+
+def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TZ, n, nel):
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -68,43 +113,10 @@ def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TZ, n, nel):
     cp_u.wait()
     cp_nu.wait()
 
-    def corners(s):
-        # IBF = (kbf*2 + jbf)*2 + ibf, i <-> x fastest (core/fem.py layout)
-        a = s[: TZ + 2, : n, : n]
-        out = []
-        for kbf in (0, 1):
-            for jbf in (0, 1):
-                for ibf in (0, 1):
-                    out.append(a[kbf:kbf + TZ + 1,
-                                 jbf:jbf + nel, ibf:ibf + nel])
-        return out
-
-    uc = corners(u_s)
-    nc = corners(nu_s)
-
-    # mask element layers whose global z index is outside [0, nel); y/x
-    # element extents are exact by construction of the corner slices
-    e_lay = (jax.lax.broadcasted_iota(jnp.int32, (TZ + 1, nel, nel), 0)
-             + row0 - 1)
-    valid = jnp.logical_and(e_lay >= 0, e_lay < nel).astype(u_s.dtype)
-
-    acc = [None] * 8
-    for g in range(8):
-        ux = sum(DXT[g][k] * uc[k] for k in range(8))
-        uy = sum(DYT[g][k] * uc[k] for k in range(8))
-        uz = sum(DZT[g][k] * uc[k] for k in range(8))
-        nug = sum(NT[g][k] * nc[k] for k in range(8))
-        gx = (jxw[g] * nug) * ux
-        gy = (jxw[g] * nug) * uy
-        gz = (jxw[g] * nug) * uz
-        for ibf in range(8):
-            contrib = DXT[g][ibf] * gx + DYT[g][ibf] * gy + DZT[g][ibf] * gz
-            acc[ibf] = contrib if acc[ibf] is None else acc[ibf] + contrib
-
-    a = [x * valid for x in acc]
+    a = _slab_contribs(u_s, nu_s, row0, tables, TZ, n, nel)
     # Q1 assembly, z first: node plane z (local) <- element layer z+1 for
     # kbf=0, layer z for kbf=1  (same shift pattern as the 2D kernel rows)
-    out_ref[0] = jnp.zeros((TZ, n, n), u_s.dtype)
+    out_ref[0] = jnp.zeros((TZ, n, n), a[0].dtype)
     for jbf in (0, 1):
         for ibf in (0, 1):
             lo = 4 * 0 + 2 * jbf + ibf   # kbf = 0
@@ -115,7 +127,73 @@ def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TZ, n, nel):
             out_ref[0, :, ysl, xsl] = out_ref[0, :, ysl, xsl] + az
 
 
-def _stiffness3d_fwd_impl(u, nu, basis: FEMBasis, tile_z: int = 8):
+def _kernel3d_bs(u_ref, nu_ref, out_ref, *, tables, TZ, ntiles, n, nel):
+    """BlockSpec-only 3D variant (see the 2D `_kernel_bs`): whole padded
+    volume per program via the automatic pipeline, static slab loop — no
+    manual DMA / semaphores / scratch."""
+    for t in range(ntiles):
+        row0 = t * TZ
+        a = _slab_contribs(u_ref[0, row0: row0 + TZ + 2],
+                           nu_ref[0, row0: row0 + TZ + 2],
+                           row0, tables, TZ, n, nel)
+        out_ref[0, row0: row0 + TZ] = jnp.zeros((TZ, n, n), a[0].dtype)
+        for jbf in (0, 1):
+            for ibf in (0, 1):
+                lo = 2 * jbf + ibf       # kbf = 0
+                hi = 4 + 2 * jbf + ibf   # kbf = 1
+                az = a[lo][1:] + a[hi][:TZ]
+                ysl = slice(jbf, jbf + nel)
+                xsl = slice(ibf, ibf + nel)
+                out_ref[0, row0: row0 + TZ, ysl, xsl] = (
+                    out_ref[0, row0: row0 + TZ, ysl, xsl] + az)
+
+
+def _stiffness3d_fwd_bs(u, nu, basis: FEMBasis, tile_z: int = 8):
+    """BlockSpec-only 3D forward: grid (B,), full padded volume per
+    program. VMEM: ~2*(u+nu) double-buffered + out + slab temporaries —
+    ~13 MB at 64^3 f32 (the reference's 3D scale); guarded to n <= 64."""
+    B, n, _, _ = u.shape
+    if n > 64:
+        raise ValueError(
+            f"3D blockspec variant holds the full volume in VMEM; n={n} > "
+            "64 would overflow — use variant='dma' or the XLA path")
+    nel = n - 1
+    TZ = min(tile_z, -(-n // 8) * 8)
+    assert TZ % 8 == 0 or TZ == n, "tile_z must be a multiple of 8"
+    ntiles = -(-n // TZ)
+    pad_z = -(-(ntiles * TZ + 2) // 8) * 8
+    CP = -(-n // 128) * 128
+    cfg = ((0, 0), (1, pad_z - n - 1), (0, 0), (0, CP - n))
+    u_p = jnp.pad(u, cfg)
+    nu_p = jnp.pad(nu, cfg)
+    tables = _build_tables_3d(basis)
+
+    out = pl.pallas_call(
+        partial(_kernel3d_bs, tables=tables, TZ=TZ, ntiles=ntiles, n=n,
+                nel=nel),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, pad_z, n, CP), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, pad_z, n, CP), lambda b: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, ntiles * TZ, n, n),
+                               lambda b: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, ntiles * TZ, n, n), u.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=int(800 * B * nel**3),
+            bytes_accessed=int(3 * 4 * B * n**3),
+            transcendentals=0),
+    )(u_p, nu_p)
+    return out[:, :n]
+
+
+def _stiffness3d_fwd_impl(u, nu, basis: FEMBasis, tile_z: int = 8,
+                          variant: str = "dma"):
+    if variant == "blockspec":
+        return _stiffness3d_fwd_bs(u, nu, basis, tile_z)
+    if variant != "dma":
+        raise ValueError(f"unknown kernel variant {variant!r} "
+                         "(expected 'dma' or 'blockspec')")
     B, n, _, _ = u.shape
     nel = n - 1
     TZ = min(tile_z, -(-n // 8) * 8)
@@ -151,19 +229,20 @@ def _stiffness3d_fwd_impl(u, nu, basis: FEMBasis, tile_z: int = 8):
     return out[:, :n]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def poisson_stiffness_action_3d(u, nu, basis: FEMBasis, tile_z: int = 8):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def poisson_stiffness_action_3d(u, nu, basis: FEMBasis, tile_z: int = 8,
+                                variant: str = "dma"):
     """Ku = assembled ∫ nu grad(N_i)·grad(u): [B, n, n, n] -> same."""
-    return _stiffness3d_fwd_impl(u, nu, basis, tile_z)
+    return _stiffness3d_fwd_impl(u, nu, basis, tile_z, variant)
 
 
-def _fwd(u, nu, basis, tile_z):
-    return _stiffness3d_fwd_impl(u, nu, basis, tile_z), (u, nu)
+def _fwd(u, nu, basis, tile_z, variant):
+    return _stiffness3d_fwd_impl(u, nu, basis, tile_z, variant), (u, nu)
 
 
-def _bwd(basis, tile_z, res, g):
+def _bwd(basis, tile_z, variant, res, g):
     u, nu = res
-    du = _stiffness3d_fwd_impl(g, nu, basis, tile_z)
+    du = _stiffness3d_fwd_impl(g, nu, basis, tile_z, variant)
     gu = fem.gp_eval(u, basis, ("dx", "dy", "dz"))
     gg = fem.gp_eval(g, basis, ("dx", "dy", "dz"))
     integrand = (gu["dx"] * gg["dx"] + gu["dy"] * gg["dy"]
@@ -176,12 +255,12 @@ poisson_stiffness_action_3d.defvjp(_fwd, _bwd)
 
 
 def poisson_residual_fused_3d(u, nu, Nf, bc_mask, basis: FEMBasis,
-                              tile_z: int = 8):
+                              tile_z: int = 8, variant: str = "dma"):
     """Full assembled, Dirichlet-masked 3D residual R = K(nu) u - Nf
     (3D counterpart of :func:`diffnet_tpu.ops.poisson_residual.
     poisson_residual_fused`; `Nf` preassembled once)."""
     if nu.shape != u.shape:
         raise ValueError(f"nu.shape {nu.shape} != u.shape {u.shape} "
                          "(the fused kernel does not broadcast)")
-    R = poisson_stiffness_action_3d(u, nu, basis, tile_z) - Nf
+    R = poisson_stiffness_action_3d(u, nu, basis, tile_z, variant) - Nf
     return jnp.where(bc_mask > 0.5, jnp.zeros_like(R), R)

@@ -301,8 +301,9 @@ def _K3_xla(u, nu, basis, n):
             + fem.galerkin_project(nug * gp["dz"], basis, "dz", (n, n, n)))
 
 
+@pytest.mark.parametrize("variant", ["dma", "blockspec"])
 @pytest.mark.parametrize("n,tile", [(9, 8), (17, 8), (20, 16)])
-def test_stiffness3d_matches_xla(n, tile):
+def test_stiffness3d_matches_xla(n, tile, variant):
     from diffnet_tpu.ops.poisson_residual_3d import _stiffness3d_fwd_impl
 
     basis = make_basis(3, 1, h=(1 / (n - 1),) * 3)
@@ -310,7 +311,7 @@ def test_stiffness3d_matches_xla(n, tile):
     u = jnp.asarray(rng.random((2, n, n, n)), jnp.float32)
     nu = jnp.asarray(rng.random((2, n, n, n)), jnp.float32)
     Kx = _K3_xla(u, nu, basis, n)
-    Kp = _stiffness3d_fwd_impl(u, nu, basis, tile)
+    Kp = _stiffness3d_fwd_impl(u, nu, basis, tile, variant)
     np.testing.assert_allclose(np.asarray(Kp), np.asarray(Kx), atol=2e-6)
 
 
