@@ -313,7 +313,7 @@ def main():
     print(json.dumps(result), flush=True)
     # VERY last: one compiled-Pallas attempt (known wedge trigger; every
     # other metric is already banked when this fires)
-    result.update(_run_tpu_phase("--pallas-probe-only", timeout=240,
+    result.update(_run_tpu_phase("--pallas-probe-only", timeout=480,
                                  probe_timeout=90))
     print(json.dumps(result), flush=True)
 
@@ -777,6 +777,31 @@ def _pallas_probe():
     t = (time.perf_counter() - t0) / iters
     out["pallas_fused_elem_per_sec_3d64_blockspec"] = float(
         f"{bs * (n-1)**3 / t:.4g}")
+    print(json.dumps(out), flush=True)
+
+    # NS VMS blockspec attempt (the 13-GP-quantity chain in one kernel)
+    from diffnet_tpu.ops import ns_vms_residual_fused
+
+    n, bs, iters = 256, 8, 5
+    h = 1.0 / (n - 1)
+    basis = make_basis(2, 1, h=(h, h))
+    rng = np.random.default_rng(0)
+    u, v, p = (jnp.asarray(rng.random((bs, n, n)), jnp.float32)
+               for _ in range(3))
+    fn = jax.jit(lambda u, v, p: [r * 1e-6 + a for r, a in zip(
+        ns_vms_residual_fused(u, v, p, None, None, basis, 0.01,
+                              variant="blockspec"), (u, v, p))])
+    u, v, p = fn(u, v, p)
+    _ = float(jnp.sum(p))
+    out["pallas_probe_blockspec_ns256_ok"] = True
+    print(json.dumps(out), flush=True)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        u, v, p = fn(u, v, p)
+    _ = float(jnp.sum(p))
+    t = (time.perf_counter() - t0) / iters
+    out["pallas_ns_vms_elem_per_sec_256sq_blockspec"] = float(
+        f"{bs * (n-1)**2 / t:.4g}")
     return out
 
 

@@ -110,24 +110,16 @@ def ns_vms_residual_xla(u, v, p, fx, fy, basis: FEMBasis, visco: float):
     return R1, R2, R3
 
 
-def _kernel(u_hbm, v_hbm, p_hbm, fx_hbm, fy_hbm,
-            r1_ref, r2_ref, r3_ref,
-            u_s, v_s, p_s, fx_s, fy_s, sems,
-            *, tables, TY, n, nel, hx, hy, visco, has_f):
-    NT, DXT, DYT, jxw = tables
-    b = pl.program_id(0)
-    t = pl.program_id(1)
+def _strip_accs(u_s, v_s, p_s, fx_s, fy_s, row0,
+                *, tables, TY, nel, hx, hy, visco, has_f):
+    """VMS GP evaluation + per-basis-function accumulation for output node
+    rows [row0, row0+TY).
 
-    row0 = t * TY
-    srcs = [(u_hbm, u_s), (v_hbm, v_s), (p_hbm, p_s)]
-    if has_f:
-        srcs += [(fx_hbm, fx_s), (fy_hbm, fy_s)]
-    cps = [pltpu.make_async_copy(h.at[b, pl.ds(row0, TY + 8), :], s,
-                                 sems.at[i]) for i, (h, s) in enumerate(srcs)]
-    for c in cps:
-        c.start()
-    for c in cps:
-        c.wait()
+    Inputs are (>=TY+2, >=nel+1) node strips covering PADDED rows
+    [row0, row0+TY+2) (1-top-pad-row convention, as the Poisson kernels).
+    Returns (acc1, acc2, acc3, valid): three lists of 4 unmasked
+    accumulators [TY+1, nel] and the element-row validity mask."""
+    NT, DXT, DYT, jxw = tables
 
     def corners(s):
         a = s[: TY + 2, : nel + 1]
@@ -202,6 +194,32 @@ def _kernel(u_hbm, v_hbm, p_hbm, fx_hbm, fy_hbm,
             acc2[ibf] = add(acc2[ibf], i2N, i2x, i2y)
             acc3[ibf] = add(acc3[ibf], i3N, i3x, i3y)
 
+    return acc1, acc2, acc3, valid
+
+
+def _kernel(u_hbm, v_hbm, p_hbm, fx_hbm, fy_hbm,
+            r1_ref, r2_ref, r3_ref,
+            u_s, v_s, p_s, fx_s, fy_s, sems,
+            *, tables, TY, n, nel, hx, hy, visco, has_f):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    row0 = t * TY
+    srcs = [(u_hbm, u_s), (v_hbm, v_s), (p_hbm, p_s)]
+    if has_f:
+        srcs += [(fx_hbm, fx_s), (fy_hbm, fy_s)]
+    cps = [pltpu.make_async_copy(h.at[b, pl.ds(row0, TY + 8), :], s,
+                                 sems.at[i]) for i, (h, s) in enumerate(srcs)]
+    for c in cps:
+        c.start()
+    for c in cps:
+        c.wait()
+
+    acc1, acc2, acc3, valid = _strip_accs(
+        u_s, v_s, p_s, fx_s if has_f else None, fy_s if has_f else None,
+        row0, tables=tables, TY=TY, nel=nel, hx=hx, hy=hy, visco=visco,
+        has_f=has_f)
+    dt = valid.dtype
     for acc, out_ref in ((acc1, r1_ref), (acc2, r2_ref), (acc3, r3_ref)):
         a = [x * valid for x in acc]
         left = a[0][1:, :] + a[2][:TY, :]
@@ -211,8 +229,89 @@ def _kernel(u_hbm, v_hbm, p_hbm, fx_hbm, fy_hbm,
         out_ref[0, :, 1:] = out_ref[0, :, 1:] + right
 
 
+def _kernel_bs(u_ref, v_ref, p_ref, fx_ref, fy_ref,
+               r1_ref, r2_ref, r3_ref,
+               *, tables, TY, ntiles, n, nel, hx, hy, visco, has_f):
+    """BlockSpec-only NS variant (see poisson_residual._kernel_bs): whole
+    padded fields per program via the automatic pipeline, static strip
+    loop — no manual DMA / semaphores / scratch."""
+    for t in range(ntiles):
+        row0 = t * TY
+        sl = slice(row0, row0 + TY + 2)
+        acc1, acc2, acc3, valid = _strip_accs(
+            u_ref[0, sl, :], v_ref[0, sl, :], p_ref[0, sl, :],
+            fx_ref[0, sl, :] if has_f else None,
+            fy_ref[0, sl, :] if has_f else None,
+            row0, tables=tables, TY=TY, nel=nel, hx=hx, hy=hy,
+            visco=visco, has_f=has_f)
+        dt = valid.dtype
+        osl = slice(row0, row0 + TY)
+        for acc, out_ref in ((acc1, r1_ref), (acc2, r2_ref), (acc3, r3_ref)):
+            a = [x * valid for x in acc]
+            left = a[0][1:, :] + a[2][:TY, :]
+            right = a[1][1:, :] + a[3][:TY, :]
+            out_ref[0, osl, :] = jnp.zeros((TY, n), dt)
+            out_ref[0, osl, :nel] = left
+            out_ref[0, osl, 1:] = out_ref[0, osl, 1:] + right
+
+
+def _ns_fwd_bs(u, v, p, fx, fy, basis: FEMBasis, visco: float,
+               tile_y: int = 128):
+    """BlockSpec-only NS forward: grid (B,), full padded fields per
+    program. VMEM: ~2*(3 + 2*has_f) input fields + 2*3 output fields +
+    strip temporaries — ~13 MB at 512^2 f32 without forcing; guarded to
+    n <= 512 (<= 384 with forcing)."""
+    B, n, _ = u.shape
+    has_f = fx is not None
+    n_max = 384 if has_f else 512
+    if n > n_max:
+        raise ValueError(
+            f"NS blockspec variant holds all fields in VMEM; n={n} > "
+            f"{n_max} (has_f={has_f}) would overflow — use variant='dma' "
+            "or the XLA path")
+    nel = n - 1
+    hx, hy = basis.h
+    TY = min(tile_y, -(-n // 8) * 8)
+    assert TY % 8 == 0 or TY == n, "tile_y must be a multiple of 8"
+    ntiles = -(-n // TY)
+    rows_pad = -(-(ntiles * TY + 2) // 8) * 8
+    CP = -(-n // 128) * 128
+    cfg = ((0, 0), (1, rows_pad - n - 1), (0, CP - n))
+    fields = [u, v, p] + ([fx, fy] if has_f else [])
+    padded = [jnp.pad(f, cfg) for f in fields]
+    field_spec = pl.BlockSpec((1, rows_pad, CP), lambda b: (b, 0, 0))
+    in_specs = [field_spec] * len(padded)
+    if not has_f:
+        dummy = jnp.zeros((1, 1, 1), u.dtype)
+        padded += [dummy, dummy]
+        in_specs += [pl.BlockSpec((1, 1, 1), lambda b: (0, 0, 0))] * 2
+    tables = _build_tables(basis)
+
+    out_spec = pl.BlockSpec((1, ntiles * TY, n), lambda b: (b, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, ntiles * TY, n), u.dtype)
+    R1, R2, R3 = pl.pallas_call(
+        partial(_kernel_bs, tables=tables, TY=TY, ntiles=ntiles, n=n,
+                nel=nel, hx=float(hx), hy=float(hy), visco=float(visco),
+                has_f=has_f),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=[out_spec] * 3,
+        out_shape=[out_shape] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=int(700 * B * nel * nel),
+            bytes_accessed=int((6 + 2 * has_f) * 4 * B * n * n),
+            transcendentals=int(4 * B * nel * nel)),
+    )(*padded)
+    return R1[:, :n], R2[:, :n], R3[:, :n]
+
+
 def _ns_fwd_impl(u, v, p, fx, fy, basis: FEMBasis, visco: float,
-                 tile_y: int = 128):
+                 tile_y: int = 128, variant: str = "dma"):
+    if variant == "blockspec":
+        return _ns_fwd_bs(u, v, p, fx, fy, basis, visco, tile_y)
+    if variant != "dma":
+        raise ValueError(f"unknown kernel variant {variant!r} "
+                         "(expected 'dma' or 'blockspec')")
     B, n, _ = u.shape
     nel = n - 1
     hx, hy = basis.h
@@ -252,9 +351,9 @@ def _ns_fwd_impl(u, v, p, fx, fy, basis: FEMBasis, visco: float,
     return R1[:, :n], R2[:, :n], R3[:, :n]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def ns_vms_residual_fused(u, v, p, fx, fy, basis: FEMBasis, visco: float,
-                          tile_y: int = 128):
+                          tile_y: int = 128, variant: str = "dma"):
     """(R1, R2, R3) = assembled VMS Navier-Stokes residuals of nodal
     (u, v, p) [B, n, n] with optional nodal forcing (fx, fy).
 
@@ -272,15 +371,15 @@ def ns_vms_residual_fused(u, v, p, fx, fy, basis: FEMBasis, visco: float,
         # tau = 1/sqrt(...) is inf on the kernel's zero-padded halo rows
         # at visco = 0, and inf * 0 masking turns boundary rows into NaN
         raise ValueError(f"visco must be > 0, got {visco}")
-    return _ns_fwd_impl(u, v, p, fx, fy, basis, visco, tile_y)
+    return _ns_fwd_impl(u, v, p, fx, fy, basis, visco, tile_y, variant)
 
 
-def _fwd(u, v, p, fx, fy, basis, visco, tile_y):
-    return (_ns_fwd_impl(u, v, p, fx, fy, basis, visco, tile_y),
+def _fwd(u, v, p, fx, fy, basis, visco, tile_y, variant):
+    return (_ns_fwd_impl(u, v, p, fx, fy, basis, visco, tile_y, variant),
             (u, v, p, fx, fy))
 
 
-def _bwd(basis, visco, tile_y, res, g):
+def _bwd(basis, visco, tile_y, variant, res, g):
     u, v, p, fx, fy = res
     if fx is None:
         _, vjp = jax.vjp(

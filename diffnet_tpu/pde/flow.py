@@ -77,6 +77,10 @@ class StokesNSBase(FEM2DModule):
         # Default OFF — compiled Pallas launches hang on this image's axon
         # relay (CLAUDE.md); enable on a standard TPU runtime.
         self.fused_kernels = bool(kwargs.get("fused_kernels", False))
+        self.fused_variant = str(kwargs.get("fused_variant", "dma"))
+        if self.fused_variant not in ("dma", "blockspec"):
+            raise ValueError(f"fused_variant must be 'dma' or 'blockspec', "
+                             f"got {self.fused_variant!r}")
         if self.fused_kernels and (self.eq_type != "ns"
                                    or self.basis.deg != 1
                                    or self.basis.ngp_1d != 2
@@ -122,8 +126,10 @@ class StokesNSBase(FEM2DModule):
             pred, inputs_tensor)
         if self.fused_kernels:
             from ..ops import ns_vms_residual_fused
+            # positional: custom_vjp + nondiff_argnums rejects kwargs
             R1, R2, R3 = ns_vms_residual_fused(
-                u_pred, v_pred, p_pred, None, None, self.basis, visco)
+                u_pred, v_pred, p_pred, None, None, self.basis, visco,
+                128, self.fused_variant)
             R1 = jnp.where(bc1 > 0.5, jnp.zeros_like(R1), R1)
             R2 = jnp.where(bc2 > 0.5, jnp.zeros_like(R2), R2)
             R3 = jnp.where(bc3 > 0.5, jnp.zeros_like(R3), R3)

@@ -121,6 +121,13 @@ class _PoissonCommon:
         # relay compiled Pallas launches hang (CLAUDE.md); enable on a
         # standard TPU runtime (or under interpret mode for testing).
         self.fused_kernels = bool(kwargs.get("fused_kernels", False))
+        # kernel structure: 'dma' (manual halo-strip copies) or 'blockspec'
+        # (whole field per program, no manual DMA — grid-size-guarded; see
+        # ops/poisson_residual.py)
+        self.fused_variant = str(kwargs.get("fused_variant", "dma"))
+        if self.fused_variant not in ("dma", "blockspec"):
+            raise ValueError(f"fused_variant must be 'dma' or 'blockspec', "
+                             f"got {self.fused_variant!r}")
         if self.fused_kernels:
             supported = (self.basis.deg == 1 and self.basis.ngp_1d == 2
                          and ((self.nsd == 2
@@ -135,6 +142,10 @@ class _PoissonCommon:
                     and kwargs.get("energy_weighting", "jxw") != "jxw"):
                 raise ValueError(
                     "fused_kernels energy path is jxw-weighted only")
+            if (self.loss_type == "energy"
+                    and self.fused_variant != "dma"):
+                raise ValueError("the fused energy kernel only has the "
+                                 "'dma' variant")
         self.bc1_value = kwargs.get("bc1_value", 1.0)
         self.bc2_value = kwargs.get("bc2_value", 0.0)
         # Optional Dirichlet field for MMS resmin: u on bc2 nodes taken from
@@ -225,7 +236,8 @@ class _PoissonCommon:
                          else poisson_residual_fused_3d)
                 Nf = _fem.galerkin_project(f_gp, self.basis, "N",
                                            u.shape[-self.nsd:])
-                R = fused(u, nu, Nf, bc2, self.basis)
+                R = fused(u, nu, Nf, bc2, self.basis,
+                          variant=self.fused_variant)
             elif self.residual_formulation == "et":
                 R = poisson_resmin_residual_et(self, u, nu, f_gp, bc2)
             else:

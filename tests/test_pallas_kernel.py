@@ -126,9 +126,10 @@ def test_energy_fused_vjp_matches_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
 
 
+@pytest.mark.parametrize("variant", ["dma", "blockspec"])
 @pytest.mark.parametrize("n,tile,with_f", [(33, 16, False), (40, 16, True),
                                            (65, 64, False)])
-def test_ns_vms_fused_matches_xla(n, tile, with_f):
+def test_ns_vms_fused_matches_xla(n, tile, with_f, variant):
     import diffnet_tpu.ops.ns_residual as nr
 
     basis = make_basis(2, 1, h=(1 / (n - 1),) * 2)
@@ -141,7 +142,7 @@ def test_ns_vms_fused_matches_xla(n, tile, with_f):
                   for _ in range(2))
     visco = 0.01
     Rx = nr.ns_vms_residual_xla(u, v, p, fx, fy, basis, visco)
-    Rp = nr._ns_fwd_impl(u, v, p, fx, fy, basis, visco, tile)
+    Rp = nr._ns_fwd_impl(u, v, p, fx, fy, basis, visco, tile, variant)
     for a, b in zip(Rp, Rx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
@@ -194,7 +195,7 @@ def test_ns_xla_standalone_matches_production_path():
 
 # ---- module integration: the fused_kernels=True opt-in path ----
 
-def _poisson_pair(loss_type, **kw):
+def _poisson_pair(loss_type, variant="dma", **kw):
     from diffnet_tpu.data.single_instances import RectangleManufactured
     from diffnet_tpu.models.field import DirectField
     from diffnet_tpu.pde.poisson import Poisson2D
@@ -203,13 +204,14 @@ def _poisson_pair(loss_type, **kw):
     ds = RectangleManufactured(domain_size=n)
     mk = lambda fused: Poisson2D(
         DirectField((n, n)), ds, domain_size=n, loss_type=loss_type,
-        fused_kernels=fused, **kw)
+        fused_kernels=fused, fused_variant=variant, **kw)
     return n, ds, mk(False), mk(True)
 
 
-@pytest.mark.parametrize("loss_type", ["energy", "resmin"])
-def test_poisson_module_fused_flag_matches_default(loss_type):
-    n, ds, m0, m1 = _poisson_pair(loss_type)
+@pytest.mark.parametrize("loss_type,variant", [
+    ("energy", "dma"), ("resmin", "dma"), ("resmin", "blockspec")])
+def test_poisson_module_fused_flag_matches_default(loss_type, variant):
+    n, ds, m0, m1 = _poisson_pair(loss_type, variant)
     inputs, forcing = ds[0]
     inputs = jnp.asarray(inputs)[None]
     forcing = jnp.asarray(forcing)[None]
@@ -223,7 +225,8 @@ def test_poisson_module_fused_flag_matches_default(loss_type):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-5)
 
 
-def test_ns_module_fused_flag_matches_default():
+@pytest.mark.parametrize("variant", ["dma", "blockspec"])
+def test_ns_module_fused_flag_matches_default(variant):
     from diffnet_tpu.models.field import DirectField
     from diffnet_tpu.pde.flow import NavierStokes, ldc_bcs
 
@@ -231,7 +234,8 @@ def test_ns_module_fused_flag_matches_default():
     u_bc, v_bc, p_bc = ldc_bcs((n, n))
     mk = lambda fused: NavierStokes(
         DirectField((n, n), n_fields=3), domain_size=n, Re=100.0,
-        u_bc=u_bc, v_bc=v_bc, p_bc=p_bc, fused_kernels=fused)
+        u_bc=u_bc, v_bc=v_bc, p_bc=p_bc, fused_kernels=fused,
+        fused_variant=variant)
     m0, m1 = mk(False), mk(True)
     rng = np.random.default_rng(9)
     pred = tuple(jnp.asarray(rng.random((1, n, n)), jnp.float32)
@@ -266,6 +270,14 @@ def test_fused_flag_rejects_unsupported_configs():
     with pytest.raises(ValueError):
         StokesMMS(DirectField((17, 17), n_fields=3), domain_size=17,
                   fused_kernels=True)
+    with pytest.raises(ValueError, match="fused_variant"):
+        Poisson2D(DirectField((17, 17)), domain_size=17,
+                  fused_kernels=True, loss_type="resmin",
+                  fused_variant="nope")
+    with pytest.raises(ValueError, match="dma"):
+        Poisson2D(DirectField((17, 17)), domain_size=17,
+                  fused_kernels=True, loss_type="energy",
+                  fused_variant="blockspec")
 
 
 def test_fused_kernels_bf16():
