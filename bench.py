@@ -1108,6 +1108,22 @@ def _guarded():
     import select as _select
     import tempfile
 
+    # relay wedged BEFORE the run even starts (observed: outages of
+    # 30 min - 9 h that recover by themselves): wait a bounded time for
+    # recovery rather than burning the whole guard hanging inside the
+    # primary phase with zero metrics banked. Non-JSON progress lines —
+    # the driver takes the last JSON line as the result.
+    if not os.environ.get("DIFFNET_BENCH_CPU"):
+        wait_budget = int(os.environ.get("DIFFNET_BENCH_STARTUP_WAIT",
+                                         "900"))
+        t_w0 = time.monotonic()
+        while (not _probe_relay(45)
+               and time.monotonic() - t_w0 < wait_budget):
+            print(f"# relay wedged at bench start; waiting for recovery "
+                  f"({int(time.monotonic() - t_w0)}s / {wait_budget}s)",
+                  flush=True)
+            time.sleep(60)
+
     deadline = time.monotonic() + int(
         os.environ.get("DIFFNET_BENCH_TIMEOUT", "3600"))
     err_file = tempfile.TemporaryFile()
