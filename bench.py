@@ -283,6 +283,10 @@ def main():
     # Krylov/MG per-iteration kernel; relay-safe class (stencil chains)
     result.update(_run_tpu_phase("--stencil-only", timeout=300))
     print(json.dumps(result), flush=True)
+    # end-to-end time-to-solution (MG-CG, whole solve in one dispatch;
+    # setup is CPU-side so the relay only sees the solve)
+    result.update(_run_tpu_phase("--solve-only", timeout=420))
+    print(json.dumps(result), flush=True)
     result.update(_run_phase("--l2-only", timeout=420))
     print(json.dumps(result), flush=True)
     # beyond-baseline perf context: the hardest residual (NS full VMS, 13 GP
@@ -1079,6 +1083,105 @@ def _stencil_throughput():
             float(f"{elems / t_scan:.4g}")}
 
 
+def _solve_time():
+    """End-to-end TIME-TO-SOLUTION: variable-coefficient (54x-contrast)
+    Poisson at the headline grid scale, solved by assembled-stencil MG-CG
+    with the ENTIRE solve inside one jitted dispatch (device while_loop)
+    + scalar readback. This is the conventional-solver capability the
+    reference lacks — its route to the same field is hundreds-to-
+    thousands of Adam/LBFGS epochs (e2_manufactured_resmin.py:543).
+    Setup (operator extraction, MG hierarchy, coarse pinv, power
+    iterations) runs on the CPU backend; the relay only ever sees the
+    one solve dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffnet_tpu.models.field import DirectField
+    from diffnet_tpu.pde import Poisson2D
+    from diffnet_tpu.train import multigrid_preconditioner
+
+    n = int(os.environ.get("DIFFNET_BENCH_SOLVE_SIZE", "513"))
+    iters = int(os.environ.get("DIFFNET_BENCH_SOLVE_ITERS", "14"))
+
+    # smooth ~54x-contrast coefficient (exp(2g), g in [-1, 1]) — no
+    # per-level dataset can re-synthesize it; the restrict path feeds it
+    x = np.linspace(0.0, 1.0, n)
+    X, Y = np.meshgrid(x, x, indexing="xy")
+    g = (np.cos(2 * np.pi * X) * np.cos(np.pi * Y)
+         + 0.5 * np.sin(3 * np.pi * X * Y))
+    nu = np.exp(2.0 * g / np.abs(g).max()).astype(np.float32)
+
+    class _DS:
+        def __init__(self, nu):
+            m = nu.shape[0]
+            b1 = np.zeros((m, m), np.float32); b1[:, 0] = 1
+            b2 = np.zeros((m, m), np.float32); b2[:, -1] = 1
+            self.inputs = np.stack([nu, b1, b2], -1).astype(np.float32)
+            self.forcing = np.zeros((m, m, 1), np.float32)
+
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, idx):
+            return self.inputs, self.forcing
+
+    ds_fine = _DS(nu)
+
+    def factory(m_n, _cache={}):
+        if m_n not in _cache:
+            ds = ds_fine if m_n == n else _DS(np.ones((m_n, m_n),
+                                                      np.float32))
+            _cache[m_n] = Poisson2D(DirectField((m_n, m_n)), ds,
+                                    domain_size=m_n, batch_size=1,
+                                    loss_type="resmin")
+        return _cache[m_n]
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        M, info = multigrid_preconditioner(
+            factory, n, n_coarse=min(33, n), inputs_per_level="restrict")
+        m = factory(n)
+        inputs = jnp.asarray(ds_fine.inputs)[None]
+        forcing = jnp.asarray(ds_fine.forcing)[None]
+        bc = np.zeros((n, n), np.float32)
+        bc[:, [0, -1]] = 1.0
+        rng = np.random.default_rng(0)
+        b_np = np.where(bc > 0.5, 0.0,
+                        rng.standard_normal((n, n))).astype(np.float32)
+
+        def Afn(v):
+            return m.residual_for_field(v[None], inputs, forcing)[0]
+
+        z = jnp.zeros((n, n), jnp.float32)
+        b0 = Afn(z)  # affine part; A_lin(v) = Afn(v) - b0
+
+    dev = jax.devices()[0]
+    b = jax.device_put(jnp.asarray(b_np), dev)
+
+    @jax.jit
+    def solve(b):
+        A = lambda v: Afn(v) - b0
+        u, _ = jax.scipy.sparse.linalg.cg(A, b, tol=0.0, maxiter=iters,
+                                          M=M)
+        r = A(u) - b
+        return u, jnp.linalg.norm(r) / jnp.linalg.norm(b)
+
+    _, rel = solve(b)
+    rel0 = float(rel)  # compile + execute + readback
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        # scale b each rep: repeated identical dispatches can be served
+        # from the relay result cache (trap #1, CLAUDE.md)
+        _, rel = solve(b * (1.0 + 1e-3 * i))
+        rel0 = float(rel)
+    t = (time.perf_counter() - t0) / reps
+    return {"poisson_varnu_mgcg_solve_ms": float(f"{t * 1e3:.4g}"),
+            "poisson_varnu_mgcg_solve_relres": float(f"{rel0:.3g}"),
+            "poisson_varnu_mgcg_solve_n": n,
+            "poisson_varnu_mgcg_solve_iters": iters}
+
+
 def _bf16_primary():
     """The primary element-residual metric with bfloat16 fields (halves the
     HBM traffic; accuracy study in docs/MIXED_PRECISION.md)."""
@@ -1225,6 +1328,8 @@ if __name__ == "__main__":
         print(json.dumps(_pallas_probe()), flush=True)
     elif "--ns-only" in sys.argv:
         print(json.dumps(_ns_throughput()), flush=True)
+    elif "--solve-only" in sys.argv:
+        print(json.dumps(_solve_time()), flush=True)
     elif "--stencil-only" in sys.argv:
         print(json.dumps(_stencil_throughput()), flush=True)
     elif "--p3d-only" in sys.argv:

@@ -35,12 +35,13 @@ import pytest
     ("--p3d-only", "poisson3d_elem_per_sec_64cubed"),
     ("--bf16-only", "elem_per_sec_bf16"),
     ("--serve-only", "serve_latency_ms_ibn32_bs1"),
+    ("--solve-only", "poisson_varnu_mgcg_solve_ms"),
 ])
 def test_bench_phase_contracts(flag, key):
     """Each supplementary bench phase emits its contracted key (tiny CPU
     config; the 3D phase has a fixed 64^3 size — still CPU-feasible)."""
     env = dict(os.environ, DIFFNET_BENCH_SIZE="33", DIFFNET_BENCH_BATCH="1",
-               JAX_PLATFORMS="cpu")
+               DIFFNET_BENCH_SOLVE_SIZE="33", JAX_PLATFORMS="cpu")
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
         f"import sys; sys.argv=['bench.py','{flag}'];"
