@@ -260,11 +260,12 @@ def main():
     # keeps one wedged phase from eating the others (VERDICT r1 item 2).
     # The L2 phase is an ACCURACY metric, so it runs CPU-pinned and
     # completes even with the relay down.
-    # phase timeouts sum to ~2800s against a 3600s outer guard (raised in
-    # round 3 when the largegrid/steps/pallas phases were added); healthy-
-    # relay wall time is ~15 min total, the probe gating short-circuits
-    # wedged phases in ~45-90s each, and in the all-phases-at-timeout
-    # worst case the guard cuts the tail — every phase prints the
+    # phase timeouts sum to ~3800s against the 3600s outer guard (solve +
+    # extended pallas probe added late round 3) — deliberately OVER-
+    # committed: healthy-relay wall time is ~15 min total, the probe
+    # gating short-circuits wedged phases in ~45-90s each, and in the
+    # all-phases-at-timeout worst case the guard cuts the tail (the
+    # deliberately-last steps/pallas phases) — every phase prints the
     # cumulative JSON, so whatever completed is salvaged.
     #
     # ORDER MATTERS: when the relay is in its fragile state, the IBN steps
