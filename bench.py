@@ -359,8 +359,9 @@ def _run_tpu_phase(flag, timeout, probe_timeout=45):
     short wedges DO clear within minutes, and the budget bounds the cost
     when they don't (long outages skip the remaining phases as before).
     Waiting is also cut off once this process has used half the outer
-    DIFFNET_BENCH_TIMEOUT guard: the phase timeouts alone sum to ~2800 s
-    against the 3600 s guard, and a late wedge+recovery must not push the
+    DIFFNET_BENCH_TIMEOUT guard: the phase timeouts alone sum to ~3800 s
+    against the 3600 s guard (deliberately overcommitted — healthy phases
+    finish far under their caps), and a late wedge+recovery must not push the
     deliberately-last steps/pallas phases past the outer kill."""
     if _RECOVERY_BUDGET[0] is None:
         _RECOVERY_BUDGET[0] = int(
@@ -705,11 +706,13 @@ def _largegrid():
 
 
 def _pallas_probe():
-    """ONE watchdogged compiled-Pallas attempt (VERDICT r2 item 1a): the
-    fused Poisson residual kernel, first on a tiny 64^2 grid; only if that
-    returns, scale to the 512^2 headline shape. Runs LAST in the phase
-    chain — compiled Pallas launches are a known relay-wedge trigger on
-    this image (CLAUDE.md), and the subprocess timeout contains the hang."""
+    """Watchdogged compiled-Pallas attempts (VERDICT r2 #1a / r3 #1a): the
+    fused kernels, tiny-shape probes first, streaming cumulative JSON per
+    banked step. Ordering (advisor r3): ALL BlockSpec-only attempts (2D
+    64/512 + scan-chained, 3D 64^3 + scan, NS 256^2) run before the
+    manual-DMA attempts — dma is the historical relay-wedge trigger, so a
+    dma hang only loses dma numbers. Runs LAST in the phase chain; the
+    subprocess timeout contains any hang and salvages the last JSON."""
     import jax
     import jax.numpy as jnp
 
@@ -727,10 +730,16 @@ def _pallas_probe():
         pl.pallas_call = functools.partial(pl.pallas_call, interpret=True)
 
     out = {}
-    # blockspec first: no manual DMA/semaphores — the DMA variant is the
-    # one that hung this relay (at its first cp.wait()); if blockspec also
-    # wedges, the watchdog kills the phase before the dma attempt anyway
-    for variant in ("blockspec", "dma"):
+
+    def _bank(key, val):
+        out[key] = val
+        print(json.dumps(out), flush=True)  # stream per-banked-step JSON
+
+    # ALL blockspec attempts run before ANY manual-DMA attempt (advisor r3):
+    # the DMA variant is the historical relay-wedge trigger (hung at its
+    # first cp.wait()); ordering it last means a dma hang only loses dma
+    # numbers, not the 3D/NS blockspec metrics.
+    def _probe_2d(variant):
         for n, bs, iters in ((64, 4, 5), (512, 32, 10)):
             h = 1.0 / (n - 1)
             basis = make_basis(2, 1, h=(h, h))
@@ -747,16 +756,40 @@ def _pallas_probe():
                          * 1e-6 + u)
             r = fn(u, nu)
             _ = float(jnp.sum(r))  # compile + execute + readback
-            out[f"pallas_probe_{variant}_{n}_ok"] = True
-            print(json.dumps(out), flush=True)  # bank per-step progress
+            _bank(f"pallas_probe_{variant}_{n}_ok", True)
             t0 = time.perf_counter()
             for _ in range(iters):
                 r = fn(r, nu)
             _ = float(jnp.sum(r))
             t = (time.perf_counter() - t0) / iters
-            out[f"pallas_fused_elem_per_sec_{n}sq_{variant}"] = float(
-                f"{bs * (n-1)**2 / t:.4g}")
-            print(json.dumps(out), flush=True)
+            _bank(f"pallas_fused_elem_per_sec_{n}sq_{variant}",
+                  float(f"{bs * (n-1)**2 / t:.4g}"))
+            if n != 512:
+                continue
+            # SCAN-CHAINED (VERDICT r3 #1a): K residual applications inside
+            # ONE dispatch, so kernel time is separated from the ~2-3 ms
+            # relay round trip — same protocol as elem_per_sec_scan_loop.
+            K = 20
+
+            def body(carry, _, nu=nu, Nf=Nf, bc=bc, basis=basis):
+                R = poisson_residual_fused(carry, nu, Nf, bc, basis,
+                                           variant=variant)
+                return R * 1e-6 + carry, None
+
+            scan_fn = jax.jit(lambda r: jax.lax.scan(
+                body, r, None, length=K)[0])
+            r = scan_fn(u)
+            _ = float(jnp.sum(r))
+            reps = 3
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = scan_fn(r)
+            _ = float(jnp.sum(r))
+            t = (time.perf_counter() - t0) / (reps * K)
+            _bank(f"pallas_fused_elem_per_sec_512sq_{variant}_scan",
+                  float(f"{bs * (n-1)**2 / t:.4g}"))
+
+    _probe_2d("blockspec")
 
     # 3D blockspec attempt at the reference's voxel scale (64^3)
     from diffnet_tpu.ops import poisson_residual_fused_3d
@@ -773,16 +806,32 @@ def _pallas_probe():
         u, nu, Nf, bc, basis, variant="blockspec") * 1e-6 + u)
     r = fn(u, nu)
     _ = float(jnp.sum(r))
-    out["pallas_probe_blockspec_3d64_ok"] = True
-    print(json.dumps(out), flush=True)
+    _bank("pallas_probe_blockspec_3d64_ok", True)
     t0 = time.perf_counter()
     for _ in range(iters):
         r = fn(r, nu)
     _ = float(jnp.sum(r))
     t = (time.perf_counter() - t0) / iters
-    out["pallas_fused_elem_per_sec_3d64_blockspec"] = float(
-        f"{bs * (n-1)**3 / t:.4g}")
-    print(json.dumps(out), flush=True)
+    _bank("pallas_fused_elem_per_sec_3d64_blockspec",
+          float(f"{bs * (n-1)**3 / t:.4g}"))
+
+    # scan-chained 3D (same RTT-amortization protocol as 2D)
+    def body3(carry, _):
+        R = poisson_residual_fused_3d(carry, nu, Nf, bc, basis,
+                                      variant="blockspec")
+        return R * 1e-6 + carry, None
+
+    scan3 = jax.jit(lambda r: jax.lax.scan(body3, r, None, length=10)[0])
+    r = scan3(u)
+    _ = float(jnp.sum(r))
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        r = scan3(r)
+    _ = float(jnp.sum(r))
+    t = (time.perf_counter() - t0) / (reps * 10)
+    _bank("pallas_fused_elem_per_sec_3d64_blockspec_scan",
+          float(f"{bs * (n-1)**3 / t:.4g}"))
 
     # NS VMS blockspec attempt (the 13-GP-quantity chain in one kernel)
     from diffnet_tpu.ops import ns_vms_residual_fused
@@ -798,15 +847,17 @@ def _pallas_probe():
                               variant="blockspec"), (u, v, p))])
     u, v, p = fn(u, v, p)
     _ = float(jnp.sum(p))
-    out["pallas_probe_blockspec_ns256_ok"] = True
-    print(json.dumps(out), flush=True)
+    _bank("pallas_probe_blockspec_ns256_ok", True)
     t0 = time.perf_counter()
     for _ in range(iters):
         u, v, p = fn(u, v, p)
     _ = float(jnp.sum(p))
     t = (time.perf_counter() - t0) / iters
-    out["pallas_ns_vms_elem_per_sec_256sq_blockspec"] = float(
-        f"{bs * (n-1)**2 / t:.4g}")
+    _bank("pallas_ns_vms_elem_per_sec_256sq_blockspec",
+          float(f"{bs * (n-1)**2 / t:.4g}"))
+
+    # manual-DMA variant LAST (the historical wedge trigger)
+    _probe_2d("dma")
     return out
 
 

@@ -153,13 +153,10 @@ def _stiffness_fwd_bs(u, nu, basis: FEMBasis, tile_y: int = 128):
 
     VMEM budget: with double-buffered in blocks this holds ~2*(u+nu) + out
     + per-strip temporaries; at 512^2 f32 that is ~6 MB of the ~16 MB
-    VMEM. Guarded to n <= 1024 — beyond that use the DMA variant (or the
-    XLA path)."""
+    VMEM. Guarded by the actual block-byte budget (2 input fields x 2
+    buffers + 2 out buffers, leaving ~4 MB headroom for strip temporaries)
+    — beyond that use the DMA variant (or the XLA path)."""
     B, n, _ = u.shape
-    if n > 1024:
-        raise ValueError(
-            f"blockspec variant holds the full field in VMEM; n={n} > 1024 "
-            "would overflow — use variant='dma' or the XLA path")
     nel = n - 1
     TY = min(tile_y, -(-n // 8) * 8)
     assert TY % 8 == 0 or TY == n, "tile_y must be a multiple of 8"
@@ -169,6 +166,12 @@ def _stiffness_fwd_bs(u, nu, basis: FEMBasis, tile_y: int = 128):
     # boundary; columns to the 128-lane boundary
     rows_pad = -(-(ntiles * TY + 2) // 8) * 8
     CP = -(-n // 128) * 128
+    blk_bytes = 6 * rows_pad * CP * u.dtype.itemsize
+    if blk_bytes > 12 * 2**20:
+        raise ValueError(
+            f"blockspec variant holds the full field in VMEM; n={n} needs "
+            f"~{blk_bytes / 2**20:.0f} MB of pipeline blocks (> 12 MB "
+            "budget) — use variant='dma' or the XLA path")
     cfg = ((0, 0), (1, rows_pad - n - 1), (0, CP - n))
     u_p = jnp.pad(u, cfg)
     nu_p = jnp.pad(nu, cfg)

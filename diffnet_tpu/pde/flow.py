@@ -126,7 +126,8 @@ class StokesNSBase(FEM2DModule):
             pred, inputs_tensor)
         if self.fused_kernels:
             from ..ops import ns_vms_residual_fused
-            # positional: custom_vjp + nondiff_argnums rejects kwargs
+            # tail args passed positionally for symmetry with the other
+            # fused-kernel call sites (kwargs also work on this JAX)
             R1, R2, R3 = ns_vms_residual_fused(
                 u_pred, v_pred, p_pred, None, None, self.basis, visco,
                 128, self.fused_variant)
