@@ -252,7 +252,8 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
                              nsd: int = 2, coarse_op: str = "rediscretize",
                              assemble: str = "stencil",
                              smoother: str = "chebyshev",
-                             cheb_alpha: float = 4.0):
+                             cheb_alpha: float = 4.0,
+                             fine_matvec=None):
     """Matrix-free geometric-multigrid V-cycle preconditioner M ~ A^-1 for
     :func:`solve_linear` on node-aligned grid hierarchies (n = 2^k + 1).
 
@@ -291,6 +292,15 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
     inputs_per_level may also be a callable n -> (inputs, forcing) as
     before; None keeps the per-level dataset behavior (constant-nu safe).
 
+    fine_matvec: optional LINEAR fine-grid operator ``v -> A v`` used at
+    RUN time for the finest level in place of the factory module's
+    operator (which still drives all setup probing — the two must be the
+    same operator to round-off). Use case: setup on the CPU backend with
+    the XLA element path while the solve's V-cycle matvecs go through the
+    fused Pallas kernel, which only compiles on TPU. With
+    coarse_op='galerkin' the level-1 setup probes chain through this
+    override, so it must be runnable at setup time there.
+
     Depth note: with HIGH-CONTRAST coefficients the very coarse grids
     (17^2/9^2) cannot represent the operator, and the rediscretized
     V-cycle rate decays with hierarchy depth (measured 4e-6 -> 3e-3 rel
@@ -305,6 +315,9 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
     if smoother not in ("chebyshev", "jacobi"):
         raise ValueError(f"unknown smoother {smoother!r} "
                          "(expected 'chebyshev' or 'jacobi')")
+    if assemble not in ("stencil", "stencil_coarse", None):
+        raise ValueError(f"unknown assemble mode {assemble!r} (expected "
+                         "'stencil', 'stencil_coarse', or None)")
     if smoother == "chebyshev" and not cheb_alpha > 1.0:
         raise ValueError(
             f"cheb_alpha must be > 1 (got {cheb_alpha}): the smoothing "
@@ -388,7 +401,7 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
                 return res(u) - b0
 
             A = jax.jit(A)
-        if assemble == "stencil":
+        if assemble == "stencil" or (assemble == "stencil_coarse" and li > 0):
             # assemble each level into explicit stencil form once: V-cycle
             # smoothing/residual matvecs then cost one fused stencil pass
             # instead of re-running element assembly (and a GALERKIN
@@ -397,6 +410,13 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
             # width-3 stencil, so extraction is exact there too). Falls
             # back to matrix-free if the factory's operator is wider than
             # deg-1 (verified by probe).
+            #
+            # 'stencil_coarse' keeps the FINE level on the module's own
+            # residual (e.g. the fused Pallas kernel when the factory sets
+            # fused_kernels=True — u+nu in / R out, ~3 fields of HBM
+            # traffic vs ~11 for the assembled stencil) while the coarse
+            # levels, where nu is not directly meaningful under Galerkin
+            # RAP, still assemble.
             from .stencil import extract_verified, stencil_diag, \
                 stencil_matvec
 
@@ -428,6 +448,10 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
             v = DinvA(v)
             v = v / (jnp.linalg.norm(v) + 1e-30)
         lam = float(jnp.vdot(v, DinvA(v)) / (jnp.vdot(v, v) + 1e-30))
+        if li == 0 and fine_matvec is not None:
+            # swap in the runtime fine operator AFTER all setup probing
+            # (diag, power iteration) ran with the factory's equal operator
+            A = jax.jit(fine_matvec)
         ops.append(A)
         invdiags.append(invdiag)
         omegas.append(0.8 / max(lam, 1e-30))

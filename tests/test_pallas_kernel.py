@@ -368,3 +368,84 @@ def test_poisson3d_module_fused_flag_matches_default():
     g0 = jax.grad(lambda u: m0.loss(u, inputs, forcing))(u)
     g1 = jax.grad(lambda u: m1.loss(u, inputs, forcing))(u)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-5)
+
+
+class _VarNuDS:
+    """Single-sample variable-nu dataset (left source / right sink)."""
+
+    def __init__(self, nu):
+        n = nu.shape[0]
+        bc1 = np.zeros((n, n)); bc1[:, 0] = 1
+        bc2 = np.zeros((n, n)); bc2[:, -1] = 1
+        self.inputs = np.stack([nu, bc1, bc2], -1).astype(np.float32)
+        self.forcing = np.zeros((n, n, 1), np.float32)
+
+    def __len__(self):
+        return 1
+
+    def __getitem__(self, idx):
+        return self.inputs, self.forcing
+
+
+def test_residual_for_field_fused_matches_et():
+    """residual_for_field honors fused_kernels (VERDICT r3 #1c): the
+    solver-path operator goes through the Pallas kernel and matches the
+    element-tensor path to round-off."""
+    from diffnet_tpu.models.field import DirectField
+    from diffnet_tpu.pde.poisson import Poisson2D
+
+    n = 33
+    rng = np.random.default_rng(5)
+    nu = (0.5 + rng.random((n, n))).astype(np.float32)
+    ds = _VarNuDS(nu)
+    mk = lambda fused: Poisson2D(
+        DirectField((n, n)), ds, domain_size=n, batch_size=1,
+        loss_type="resmin", fused_kernels=fused, fused_variant="blockspec")
+    m0, m1 = mk(False), mk(True)
+    inputs = jnp.asarray(ds.inputs)[None]
+    forcing = jnp.asarray(ds.forcing)[None]
+    u = jnp.asarray(rng.random((1, n, n)), jnp.float32)
+    r0 = m0.residual_for_field(u, inputs, forcing)
+    r1 = m1.residual_for_field(u, inputs, forcing)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0), atol=2e-6)
+
+
+def test_fused_mgcg_solve_variable_nu():
+    """End-to-end solver wiring (VERDICT r3 #1c): module_linear_solve CG
+    iterating through the fused Pallas residual, preconditioned by an MG
+    V-cycle whose FINE level is also the fused kernel
+    (assemble='stencil_coarse'), on a variable-nu problem."""
+    import jax.numpy as jnp_
+
+    from diffnet_tpu.models.field import DirectField
+    from diffnet_tpu.pde.poisson import Poisson2D
+    from diffnet_tpu.train import multigrid_preconditioner
+    from diffnet_tpu.train.linear import module_linear_solve
+
+    n = 33
+    rng = np.random.default_rng(7)
+    nu = np.exp(0.8 * rng.standard_normal((n, n))).astype(np.float32)
+    # smooth it slightly so coarse rediscretization stays representative
+    nu = 0.25 * (nu + np.roll(nu, 1, 0) + np.roll(nu, 1, 1)
+                 + np.roll(nu, (1, 1), (0, 1)))
+    ds = _VarNuDS(nu)
+
+    def factory(m_n, _cache={}):
+        if m_n not in _cache:
+            d = ds if m_n == n else _VarNuDS(np.ones((m_n, m_n), np.float32))
+            _cache[m_n] = Poisson2D(
+                DirectField((m_n, m_n)), d, domain_size=m_n, batch_size=1,
+                loss_type="resmin", fused_kernels=True,
+                fused_variant="blockspec")
+        return _cache[m_n]
+
+    m = factory(n)
+    M, info = multigrid_preconditioner(
+        factory, n, n_coarse=9, inputs_per_level="restrict",
+        assemble="stencil_coarse")
+    u, _ = module_linear_solve(m, tol=1e-8, maxiter=25, M=M)
+    # verify against the plain (non-fused, fully-stencil-assembled) path
+    m_ref = Poisson2D(DirectField((n, n)), ds, domain_size=n, batch_size=1,
+                      loss_type="resmin")
+    u_ref, _ = module_linear_solve(m_ref, tol=1e-10, assemble="stencil")
+    np.testing.assert_allclose(u, u_ref, atol=5e-5)
