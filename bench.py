@@ -419,46 +419,138 @@ def _run_phase(flag, timeout):
 
 
 def _steps_per_sec():
-    """Flagship IBN training steps/sec (reference config: 32^2 grid, AE net,
-    Adam 3e-4 — IBN_2D.py:174-216). Default batch 128 keeps the run short on
-    this image's fragile relay; DIFFNET_BENCH_FULL=1 restores the reference
-    bs=512."""
-    from diffnet_tpu.data.loader import NumpyLoader
-    from diffnet_tpu.data.parametric import SyntheticPointClouds
+    """Flagship IBN conv-net training steps/sec (reference config: 32^2
+    grid, AE net, Adam 3e-4 — IBN_2D.py:174-216), banked TIER BY TIER
+    (VERDICT r3 #2): conv-net training loops are THE relay-wedge class on
+    this image, and the all-or-nothing phase lost its number two rounds
+    running. Tiers escalate bs 4 -> 16 -> 64 -> 128 (device-resident Adam
+    steps), streaming cumulative JSON after every banked tier and
+    re-probing the relay (30 s matmul subprocess) between tiers, so a
+    wedge mid-tier loses only that tier. The largest surviving tier is
+    aliased to ibn32_train_steps_per_sec. After the device-resident
+    tiers: the loader-driven reference config and the scanned-K variant."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
     from diffnet_tpu.models.networks import AE
     from diffnet_tpu.pde.ibn import IBNPoisson2D
+
+    out = {}
+
+    def bank(key, val):
+        out[key] = val
+        print(json.dumps(out), flush=True)
+
+    n = 32
+    net = AE(out_channels=1, dims=8, n_downsample=2)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    rng = np.random.default_rng(0)
+
+    def tier(bs, iters):
+        module = IBNPoisson2D(net, source_from="inputs", domain_size=n,
+                              batch_size=bs)
+        inputs = jnp.asarray(rng.random((bs, n, n, 3)), jnp.float32)
+        forcing = jnp.asarray(rng.random((bs, n, n, 1)), jnp.float32)
+        params = net.init(jax.random.key(0), inputs)
+        opt = optax.adam(3e-4)
+        opt_state = opt.init(params)
+
+        def loss_fn(params):
+            u = net.apply(params, inputs)
+            return module.loss(u, inputs, forcing)
+
+        @jax.jit
+        def step(params, opt_state):
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        params, opt_state, l = step(params, opt_state)  # compile + warm
+        _ = float(l)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, opt_state, l = step(params, opt_state)
+        _ = float(l)  # host scalar readback closes the chain
+        return float(f"{iters / (time.perf_counter() - t0):.4g}")
+
+    best = None
+    for bs, iters in ((4, 10), (16, 20), (64, 40), (128, 40)):
+        if on_tpu and not _probe_relay(30):
+            bank("steps_wedge_before_tier", f"bs{bs}")
+            return out
+        sps = tier(bs, iters)
+        bank(f"ibn32_train_steps_per_sec_bs{bs}", sps)
+        best = (bs, sps)
+    # headline alias = the largest banked device-resident tier
+    bank("ibn32_train_steps_per_sec", best[1])
+    bank("train_steps_per_sec", best[1])
+
+    # scanned-K variant on the bs=128 tier: K optimizer steps inside ONE
+    # lax.scan dispatch (the steps_per_call trainer mode's claimed TPU
+    # win). TPU-only: XLA:CPU runs scan bodies single-threaded.
+    if on_tpu and _probe_relay(30):
+        module = IBNPoisson2D(net, source_from="inputs", domain_size=n,
+                              batch_size=128)
+        inputs = jnp.asarray(rng.random((128, n, n, 3)), jnp.float32)
+        forcing = jnp.asarray(rng.random((128, n, n, 1)), jnp.float32)
+        params = net.init(jax.random.key(0), inputs)
+        opt = optax.adam(3e-4)
+        opt_state = opt.init(params)
+
+        def loss_fn(params):
+            u = net.apply(params, inputs)
+            return module.loss(u, inputs, forcing)
+
+        K = 10
+
+        @jax.jit
+        def stepK(params, opt_state):
+            def body(c, _):
+                p, s = c
+                loss, g = jax.value_and_grad(loss_fn)(p)
+                updates, s = opt.update(g, s, p)
+                return (optax.apply_updates(p, updates), s), loss
+
+            (p, s), losses = jax.lax.scan(body, (params, opt_state), None,
+                                          length=K)
+            return p, s, losses[-1]
+
+        params, opt_state, l = stepK(params, opt_state)
+        _ = float(l)
+        reps = 4
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            params, opt_state, l = stepK(params, opt_state)
+        _ = float(l)
+        bank("ibn32_train_steps_per_sec_scan10",
+             float(f"{reps * K / (time.perf_counter() - t0):.4g}"))
+
+    # loader-driven reference config LAST (adds the data pipeline +
+    # winding path on top of the conv-net dispatch loop)
+    if on_tpu and not _probe_relay(30):
+        bank("steps_wedge_before_tier", "loader_bs128")
+        return out
+    from diffnet_tpu.data.loader import NumpyLoader
+    from diffnet_tpu.data.parametric import SyntheticPointClouds
     from diffnet_tpu.train.trainer import Trainer
 
     full = bool(os.environ.get("DIFFNET_BENCH_FULL"))
     bs = 512 if full else 128
     n_timed_epochs = 5 if full else 3
-    ds = SyntheticPointClouds(n_samples=2 * bs, n_points=120, domain_size=32)
+    ds = SyntheticPointClouds(n_samples=2 * bs, n_points=120, domain_size=n)
     loader = NumpyLoader(ds, batch_size=bs, shuffle=False)
-    net = AE(out_channels=1, dims=8, n_downsample=2)
-    module = IBNPoisson2D(net, domain_size=32, batch_size=bs)
+    module = IBNPoisson2D(net, domain_size=n, batch_size=bs)
 
-    def timed(tr):
-        tr.fit(module, loader)  # compile + warm (step fn cached after this)
-        t0 = time.perf_counter()
-        n_steps = 0
-        for _ in range(n_timed_epochs):
-            tr.fit(module, loader, params=tr.state.params)
-            n_steps += len(loader)
-        return float(f"{n_steps / (time.perf_counter() - t0):.4g}")
-
-    sps = timed(Trainer(max_epochs=1, optimizer="adam", learning_rate=3e-4))
-    key = "ibn32_train_steps_per_sec" + ("" if full else "_bs128")
-    out = {"train_steps_per_sec": sps, key: sps}
-    # steps_per_call=2: both batches of an epoch inside ONE jitted
-    # lax.scan dispatch — amortizes the per-dispatch round trip (identical
-    # math, pinned by tests/test_trainer_features.py). TPU-only measurement:
-    # XLA:CPU runs loop bodies single-threaded (see trainer.py).
-    import jax
-
-    if jax.devices()[0].platform != "cpu":
-        out["train_steps_per_sec_scan2"] = timed(
-            Trainer(max_epochs=1, optimizer="adam", learning_rate=3e-4,
-                    steps_per_call=2))
+    tr = Trainer(max_epochs=1, optimizer="adam", learning_rate=3e-4)
+    tr.fit(module, loader)  # compile + warm (step fn cached after this)
+    t0 = time.perf_counter()
+    n_steps = 0
+    for _ in range(n_timed_epochs):
+        tr.fit(module, loader, params=tr.state.params)
+        n_steps += len(loader)
+    bank("ibn32_train_steps_per_sec_loader" + ("" if full else "_bs128"),
+         float(f"{n_steps / (time.perf_counter() - t0):.4g}"))
     return out
 
 
