@@ -1062,6 +1062,7 @@ def _serve_latency():
     _ = float(jnp.sum(r))
     t = (time.perf_counter() - t0) / iters
     out = {"serve_latency_ms_ibn32_bs1": float(f"{t * 1e3:.4g}")}
+    print(json.dumps(out), flush=True)  # wedge-proof: bank per metric
 
     # ON-CHIP serving numbers (VERDICT r2 weak 5: the per-dispatch figure
     # above is ~90% relay round-trip on this image — it measures the
@@ -1079,6 +1080,7 @@ def _serve_latency():
 
     t1 = _scan_rate(call, x, 200)
     out["serve_latency_ms_ibn32_bs1_onchip"] = float(f"{t1 * 1e3:.4g}")
+    print(json.dumps(out), flush=True)
     # batched serving throughput (the export is shape-specific; re-export
     # at bs=64 — export cost is offline, not part of the serving loop)
     xb = jnp.asarray(rng.random((64, n, n, 1)), jnp.float32)
@@ -1093,8 +1095,13 @@ def _serve_latency():
 
 def _p3d_throughput():
     """3D Poisson residual throughput at 64^3 (the reference's voxel-solve
-    scale, IBN/poisson-3d/*; trilinear deg-1, 2x2x2 GP — the GP pipeline,
-    which is the production 3D path). Chained + scalar readback."""
+    scale, IBN/poisson-3d/*; trilinear deg-1, 2x2x2 GP). Chained + scalar
+    readback, streaming cumulative JSON per banked variant (VERDICT r3
+    #3+#7): GP pipeline per-dispatch (the r02/r03 metric), then its
+    scan-chained rate (separates the 64^3-regression question from relay
+    RTT noise), then the element-tensor matmul form and the trilinear
+    stencil expansion ON-CHIP — the 'stencil slower than GP' decision in
+    core/fem.py was CPU-measured only."""
     import jax
     import jax.numpy as jnp
 
@@ -1109,28 +1116,77 @@ def _p3d_throughput():
     nu = jnp.asarray(rng.random((bs, n, n, n)), jnp.float32)
     f_gp = jnp.asarray(rng.random((bs, n - 1, n - 1, n - 1, 8)), jnp.float32)
     bc = jnp.zeros((n, n, n)).at[0].set(1.0).at[-1].set(1.0)
+    Nf = jax.jit(lambda f: fem.galerkin_project(f, basis, "N",
+                                                (n, n, n)))(f_gp)
+    A_el = fem.element_tensor(basis, ("dx", "dy", "dz"))
+    elems = bs * (n - 1) ** 3
+    out = {}
 
-    @jax.jit
-    def residual(u, nu, f_gp):
+    def bank(key, val):
+        out[key] = val
+        print(json.dumps(out), flush=True)
+
+    def gp_res_fgp(u, nu):
+        # the r02/r03 headline formula: f_gp (8 element-grid channels)
+        # projected per call — kept verbatim so the 64^3 regression trail
+        # stays comparable across rounds
         gp = fem.gp_eval(u, basis, ("dx", "dy", "dz"))
         nu_gp = fem.gp_eval(nu, basis, ("N",))["N"]
         R = fem.galerkin_project_multi(
             [(nu_gp * gp["dx"], "dx"), (nu_gp * gp["dy"], "dy"),
              (nu_gp * gp["dz"], "dz"), (-f_gp, "N")], basis, (n, n, n))
-        return jnp.where(bc > 0.5, 0.0, R) * 1e-6 + u
+        return jnp.where(bc > 0.5, 0.0, R)
 
-    r = u
-    for _ in range(3):
-        r = residual(r, nu, f_gp)
-    _ = float(jnp.sum(r))
-    iters = 15
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = residual(r, nu, f_gp)
-    _ = float(jnp.sum(r))
-    t = (time.perf_counter() - t0) / iters
-    return {"poisson3d_elem_per_sec_64cubed":
-            float(f"{bs * (n - 1) ** 3 / t:.4g}")}
+    def gp_res(u, nu):
+        # precomputed-Nf variant (the 2D headline's r3 convention)
+        gp = fem.gp_eval(u, basis, ("dx", "dy", "dz"))
+        nu_gp = fem.gp_eval(nu, basis, ("N",))["N"]
+        R = fem.galerkin_project_multi(
+            [(nu_gp * gp["dx"], "dx"), (nu_gp * gp["dy"], "dy"),
+             (nu_gp * gp["dz"], "dz")], basis, (n, n, n)) - Nf
+        return jnp.where(bc > 0.5, 0.0, R)
+
+    def et_res(u, nu):
+        R = fem.element_action(u, nu, A_el, basis, (n, n, n)) - Nf
+        return jnp.where(bc > 0.5, 0.0, R)
+
+    def st_res(u, nu):
+        R = fem._element_action_stencil(u, nu, A_el, basis,
+                                        (n, n, n)) - Nf
+        return jnp.where(bc > 0.5, 0.0, R)
+
+    def perdispatch(resfn, iters=15):
+        fn = jax.jit(lambda u, nu: resfn(u, nu) * 1e-6 + u)
+        r = fn(u, nu)
+        for _ in range(2):
+            r = fn(r, nu)
+        _ = float(jnp.sum(r))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(r, nu)
+        _ = float(jnp.sum(r))
+        return float(f"{elems / ((time.perf_counter() - t0) / iters):.4g}")
+
+    def scanK(resfn, K=15, reps=3):
+        fn = jax.jit(lambda r: jax.lax.scan(
+            lambda c, _: (resfn(c, nu) * 1e-6 + c, None),
+            r, None, length=K)[0])
+        r = fn(u)
+        _ = float(jnp.sum(r))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn(r)
+        _ = float(jnp.sum(r))
+        return float(
+            f"{elems / ((time.perf_counter() - t0) / (reps * K)):.4g}")
+
+    bank("poisson3d_elem_per_sec_64cubed", perdispatch(gp_res_fgp))
+    bank("poisson3d_elem_per_sec_64cubed_nf", perdispatch(gp_res))
+    bank("poisson3d_elem_per_sec_64cubed_scan", scanK(gp_res))
+    bank("poisson3d_elem_per_sec_64cubed_et", perdispatch(et_res))
+    bank("poisson3d_elem_per_sec_64cubed_et_scan", scanK(et_res))
+    bank("poisson3d_elem_per_sec_64cubed_etstencil_scan", scanK(st_res))
+    return out
 
 
 def _stencil_throughput():
@@ -1200,6 +1256,11 @@ def _stencil_throughput():
         r = step(r)
     _ = float(jnp.sum(r))
     t = (time.perf_counter() - t0) / iters
+    elems = bs * (n - 1) * (n - 1)
+    # bank the per-dispatch number before the scan variant (wedge-proofing:
+    # this phase lost its whole r03 result to an all-or-nothing timeout)
+    print(json.dumps({"stencil_matvec_elem_per_sec_512sq":
+                      float(f"{elems / t:.4g}")}), flush=True)
 
     K = 20
 
@@ -1220,7 +1281,6 @@ def _stencil_throughput():
         r = stepK(r)
     _ = float(jnp.sum(r))
     t_scan = (time.perf_counter() - t0) / (reps * K)
-    elems = bs * (n - 1) * (n - 1)
     return {"stencil_matvec_elem_per_sec_512sq":
             float(f"{elems / t:.4g}"),
             "stencil_matvec_elem_per_sec_scan_loop":

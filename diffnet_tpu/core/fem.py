@@ -363,9 +363,15 @@ def element_action(u: jax.Array, coeff: jax.Array, A: np.ndarray,
     it falls back to :func:`galerkin_project_multi`.
     """
     nbf = basis.nbf_total
-    if basis.deg == 1 and basis.nsd <= 2:
-        # 3D stays on the matmul form: the trilinear expansion is 8x64
-        # fused terms, measured ~2x slower than the GP pipeline on CPU
+    if basis.deg == 1:
+        # deg-1 takes the fused stencil expansion in BOTH 2D and 3D. The
+        # trilinear (8 dofs x <=64 nonzero (c,b) pairs) expansion was
+        # originally benched ~2x slower than the GP pipeline on CPU and
+        # 3D was left on the matmul form; a round-4 re-measurement with
+        # the trap-#4 protocol (scan-chained, scalar readback, 64^3 bs4)
+        # shows the OPPOSITE: stencil 2.26e7 elem/s vs GP-pipeline 6.75e6
+        # and matmul-form 1.00e7 on XLA:CPU (bench.py --p3d-only banks the
+        # on-chip trio each round).
         return _element_action_stencil(u, coeff, A, basis, node_shape,
                                        gp_terms)
     coeff_e = gather_elements(coeff, basis.deg, basis.nsd)  # [..., nel*, nbf]

@@ -103,8 +103,10 @@ class _PoissonCommon:
         # deg-1 2D — fastest, see core/fem.py:element_action) or "gp"
         # (general Gauss-point pipeline, any degree; faster for 3D where the
         # trilinear stencil expansion is too wide).
-        default_form = "et" if (self.basis.deg == 1
-                                and self.nsd == 2) else "gp"
+        # deg-1 defaults to the fused element-tensor STENCIL expansion in
+        # both 2D and 3D (core/fem.py::element_action; the 3D form was
+        # re-measured 3.3x the GP pipeline scan-chained in round 4)
+        default_form = "et" if self.basis.deg == 1 else "gp"
         self.residual_formulation = kwargs.get("residual_formulation",
                                                default_form)
         if self.residual_formulation not in ("et", "gp"):
