@@ -127,31 +127,71 @@ def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TZ, n, nel):
             out_ref[0, :, ysl, xsl] = out_ref[0, :, ysl, xsl] + az
 
 
-def _kernel3d_bs(u_ref, nu_ref, out_ref, *, tables, TZ, ntiles, n, nel):
+def _kernel3d_bs(u_ref, nu_ref, out_ref, *, tables, TZ, n, nel):
     """BlockSpec-only 3D variant (see the 2D `_kernel_bs`): whole padded
-    volume per program via the automatic pipeline, static slab loop — no
-    manual DMA / semaphores / scratch."""
-    for t in range(ntiles):
-        row0 = t * TZ
-        a = _slab_contribs(u_ref[0, row0: row0 + TZ + 2],
-                           nu_ref[0, row0: row0 + TZ + 2],
-                           row0, tables, TZ, n, nel)
-        out_ref[0, row0: row0 + TZ] = jnp.zeros((TZ, n, n), a[0].dtype)
+    input volume per program via the automatic pipeline (constant index
+    map along the z-tile grid axis, so it is fetched once per batch), the
+    OUTPUT tiled over z — no manual DMA / semaphores / scratch.
+
+    The body walks the TZ+1 ELEMENT LAYERS of its tile one at a time:
+    per-layer temporaries are 2D planes (~tens of KB), not 3D slabs.
+    Both structure choices were load-bearing on chip (round 4): the
+    whole-volume out block + slab-sized temporaries overflowed the 16 MB
+    scoped-VMEM budget at 64^3 bs4 (16.3-17.4 MB compile OOM)."""
+    NT, DXT, DYT, DZT, jxw = tables
+    t = pl.program_id(1)
+    row0 = t * TZ
+    out_ref[0] = jnp.zeros((TZ, n, n), u_ref.dtype)
+    for lay in range(TZ + 1):
+        # element layer between padded node planes row0+lay, row0+lay+1
+        # == real planes row0+lay-1, row0+lay; valid iff the global
+        # element-layer index row0+lay-1 is in [0, nel)
+        u0 = u_ref[0, row0 + lay, :n, :n]
+        u1 = u_ref[0, row0 + lay + 1, :n, :n]
+        n0 = nu_ref[0, row0 + lay, :n, :n]
+        n1 = nu_ref[0, row0 + lay + 1, :n, :n]
+
+        def corners(p0, p1):
+            # IBF = (kbf*2 + jbf)*2 + ibf (x fastest; kbf picks the plane)
+            return [p[jbf:jbf + nel, ibf:ibf + nel]
+                    for p in (p0, p1) for jbf in (0, 1) for ibf in (0, 1)]
+
+        uc = corners(u0, u1)
+        nc = corners(n0, n1)
+        glob = row0 + lay - 1
+        valid = jnp.logical_and(glob >= 0, glob < nel).astype(u_ref.dtype)
+        acc = [None] * 8
+        for g in range(8):
+            ux = sum(DXT[g][k] * uc[k] for k in range(8))
+            uy = sum(DYT[g][k] * uc[k] for k in range(8))
+            uz = sum(DZT[g][k] * uc[k] for k in range(8))
+            nug = sum(NT[g][k] * nc[k] for k in range(8))
+            gx = (jxw[g] * nug) * ux
+            gy = (jxw[g] * nug) * uy
+            gz = (jxw[g] * nug) * uz
+            for ibf in range(8):
+                c = DXT[g][ibf] * gx + DYT[g][ibf] * gy + DZT[g][ibf] * gz
+                acc[ibf] = c if acc[ibf] is None else acc[ibf] + c
         for jbf in (0, 1):
             for ibf in (0, 1):
-                lo = 2 * jbf + ibf       # kbf = 0
-                hi = 4 + 2 * jbf + ibf   # kbf = 1
-                az = a[lo][1:] + a[hi][:TZ]
                 ysl = slice(jbf, jbf + nel)
                 xsl = slice(ibf, ibf + nel)
-                out_ref[0, row0: row0 + TZ, ysl, xsl] = (
-                    out_ref[0, row0: row0 + TZ, ysl, xsl] + az)
+                if lay >= 1:      # kbf=0 -> node plane lay-1
+                    out_ref[0, lay - 1, ysl, xsl] = (
+                        out_ref[0, lay - 1, ysl, xsl]
+                        + valid * acc[2 * jbf + ibf])
+                if lay < TZ:      # kbf=1 -> node plane lay
+                    out_ref[0, lay, ysl, xsl] = (
+                        out_ref[0, lay, ysl, xsl]
+                        + valid * acc[4 + 2 * jbf + ibf])
 
 
 def _stiffness3d_fwd_bs(u, nu, basis: FEMBasis, tile_z: int = 8):
-    """BlockSpec-only 3D forward: grid (B,), full padded volume per
-    program. VMEM: ~2*(u+nu) double-buffered + out + slab temporaries —
-    ~13 MB at 64^3 f32 (the reference's 3D scale); guarded to n <= 64."""
+    """BlockSpec-only 3D forward: grid (B, z-tiles); full padded input
+    volume per program (fetched once per batch — constant index along the
+    tile axis), out block one z-slab. VMEM: ~2*(u+nu) double-buffered +
+    2 slab out blocks + slab temporaries — ~12 MB at 64^3 f32 (the
+    reference's 3D scale); guarded to n <= 64."""
     B, n, _, _ = u.shape
     if n > 64:
         raise ValueError(
@@ -162,22 +202,21 @@ def _stiffness3d_fwd_bs(u, nu, basis: FEMBasis, tile_z: int = 8):
     assert TZ % 8 == 0 or TZ == n, "tile_z must be a multiple of 8"
     ntiles = -(-n // TZ)
     pad_z = -(-(ntiles * TZ + 2) // 8) * 8
-    CP = -(-n // 128) * 128
+    CP = n if n % 8 == 0 else -(-n // 8) * 8
     cfg = ((0, 0), (1, pad_z - n - 1), (0, 0), (0, CP - n))
     u_p = jnp.pad(u, cfg)
     nu_p = jnp.pad(nu, cfg)
     tables = _build_tables_3d(basis)
 
     out = pl.pallas_call(
-        partial(_kernel3d_bs, tables=tables, TZ=TZ, ntiles=ntiles, n=n,
-                nel=nel),
-        grid=(B,),
+        partial(_kernel3d_bs, tables=tables, TZ=TZ, n=n, nel=nel),
+        grid=(B, ntiles),
         in_specs=[
-            pl.BlockSpec((1, pad_z, n, CP), lambda b: (b, 0, 0, 0)),
-            pl.BlockSpec((1, pad_z, n, CP), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, pad_z, n, CP), lambda b, t: (b, 0, 0, 0)),
+            pl.BlockSpec((1, pad_z, n, CP), lambda b, t: (b, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, ntiles * TZ, n, n),
-                               lambda b: (b, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, TZ, n, n),
+                               lambda b, t: (b, t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, ntiles * TZ, n, n), u.dtype),
         cost_estimate=pl.CostEstimate(
             flops=int(800 * B * nel**3),
