@@ -13,7 +13,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["StokesMMSDataset", "NSLDCDataset", "FlowPastObjectDataset",
-           "FlowPastObjectEnsemble", "synthetic_obstacles"]
+           "FlowPastObjectEnsemble", "NSFPSChannelDataset",
+           "synthetic_obstacles"]
 
 
 class _FlowBase:
@@ -96,6 +97,62 @@ class FlowPastObjectDataset(_FlowBase):
         self.u_bc = np.zeros((ny, nx), np.float32)
         self.u_bc[:, 0] = inlet
         self.channels = [self.x, self.y, self.bc1, self.bc2, self.bc3, chi]
+
+
+class NSFPSChannelDataset(_FlowBase):
+    """Channel flow past an embedded unit square block — the reference's
+    NS-FPS / Stokes-FPS single-instance configuration
+    (e2_ns_fps_resmin.py:50-103: L12xH6 channel, square obstacle,
+    parabolic inlet ``u = 1 - (2y/H - 1)^2`` peak 1 at x=0
+    (e2_ns_fps_resmin.py:134), no-slip top/bottom walls and obstacle,
+    outlet pressure column pinned to 0 (bc3[:, -1], lines 88-89), u/v
+    free at the outlet (do-nothing outflow)).
+
+    Obstacle placement: the reference script masks by integer-index
+    arithmetic ``int(corner * N / L)`` (e2_ns_fps_resmin.py:68-71), which
+    at its 128x64 config lands the block at x in [2.46, 3.40] x
+    y in [2.48, 3.43] — NOT the geometry of its own checked-in numerical
+    anchors: the NaN blanking in
+    ns-ldc-numerical-results/re-{10,20,30}-ns-L12-H6-midline{X,Y}.csv
+    pins the anchor solver's block at x in [2, 3] x y in [2.5, 3.5], and
+    stokes-fps/re-1-stokes-*.csv at x in [2, 3] centered in an H=5
+    channel (dp/dx = -0.319 = 8 nu Umax / H^2 in the developed region
+    fixes H = 5.0). This class masks by exact node COORDINATES (default
+    corners = the anchor geometry) so solutions are comparable to the
+    CSVs; pass the reference script's corners to reproduce its quirk.
+
+    Channels (channels-last): (x, y, bc1, bc2, bc3); ``u_bc`` carries the
+    inlet profile.
+    """
+
+    def __init__(self, domain_lengths=(12.0, 6.0), domain_sizes=(97, 49),
+                 obstacle=((2.0, 2.5), (3.0, 3.5)), Re=30):
+        Lx, Ly = domain_lengths
+        nx, ny = domain_sizes
+        x = np.linspace(0, Lx, nx)
+        y = np.linspace(0, Ly, ny)
+        self.x, self.y = np.meshgrid(x, y)
+        (x0, y0), (x1, y1) = obstacle
+        eps = 1e-9
+        chi = ((self.x >= x0 - eps) & (self.x <= x1 + eps)
+               & (self.y >= y0 - eps) & (self.y <= y1 + eps))
+        self.chi = chi.astype(np.float64)
+
+        walls_inlet = np.zeros((ny, nx))
+        walls_inlet[[0, -1], :] = 1.0   # top/bottom walls
+        walls_inlet[:, 0] = 1.0         # inlet
+        bc_uv = np.clip(walls_inlet + self.chi, 0, 1)
+        self.bc1 = bc_uv
+        self.bc2 = bc_uv.copy()
+        self.bc3 = np.zeros((ny, nx))
+        self.bc3[:, -1] = 1.0           # outlet p = 0 (whole column)
+
+        self.Re = Re
+        self.u_bc = np.zeros((ny, nx), np.float32)
+        self.u_bc[:, 0] = 1.0 - (2.0 * y / Ly - 1.0) ** 2
+        self.v_bc = np.zeros((ny, nx), np.float32)
+        self.p_bc = np.zeros((ny, nx), np.float32)
+        self.channels = [self.x, self.y, self.bc1, self.bc2, self.bc3]
 
 
 def synthetic_obstacles(n_samples, shape=(64, 128), domain_lengths=(4.0, 1.0),

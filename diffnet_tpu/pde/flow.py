@@ -88,6 +88,17 @@ class StokesNSBase(FEM2DModule):
             raise ValueError("fused_kernels supports the forcing-free NS "
                              "deg-1 2x2-GP configuration only")
         self.pspg_param = self.h**2 * self.Re / 12.0
+        # 'mean-control': the bc3 nodes are a pure GAUGE pin (LDC-style
+        # corner pin) — the solver paths replace them by a rank-one mean
+        # control and restore the pin by a constant shift (see
+        # mixed_residual). 'dirichlet': the bc3 nodes carry a REAL
+        # boundary condition (e.g. the FPS outlet column p = 0, reference
+        # e2_ns_fps_resmin.py:88-89) that changes the solution — the
+        # solver paths keep the rows as strong Dirichlet.
+        self.pressure_gauge = kwargs.get("pressure_gauge", "mean-control")
+        if self.pressure_gauge not in ("mean-control", "dirichlet"):
+            raise ValueError("pressure_gauge must be 'mean-control' or "
+                             f"'dirichlet', got {self.pressure_gauge!r}")
         # Dirichlet data fields (nodal), defaulting to zero
         zeros = np.zeros(self.node_shape, np.float32)
         self.u_bc = np.asarray(kwargs.get("u_bc", zeros), np.float32)
@@ -234,7 +245,17 @@ class StokesNSBase(FEM2DModule):
         a pure-constant shift to the pinned value (a constant is exactly
         null for every other equation on the Dirichlet-masked system);
         :func:`train.linear.stokes_linear_solve` /
-        :func:`train.linear.ns_newton_solve` do both steps."""
+        :func:`train.linear.ns_newton_solve` do both steps.
+
+        pressure_gauge='dirichlet' (FPS-style outlet column): the bc3
+        nodes are a REAL boundary condition, not a gauge — a constant p
+        is NOT null through the do-nothing outflow boundary — so the
+        rows stay strong Dirichlet and no mean control is added."""
+        if self.pressure_gauge == "dirichlet":
+            R1, R2, R3 = self.calc_residuals(
+                (fields["u"], fields["v"], fields["p"]),
+                inputs_tensor, forcing_tensor)
+            return {"u": R1, "v": R2, "p": R3}
         inputs_nopin = jnp.asarray(inputs_tensor).at[..., 4].set(0.0)
         R1, R2, R3 = self.calc_residuals(
             (fields["u"], fields["v"], fields["p"]),

@@ -205,24 +205,30 @@ def module_linear_solve(module, inputs_tensor=None, forcing_tensor=None,
     return np.asarray(u), info
 
 
-def _colored_diag(A, n, nsd):
+def _colored_diag(A, shape, nsd=None):
     """EXACT diagonal of a linear stencil operator by coloring probes:
     deg-1 stencils span 3 nodes per axis, so same-color nodes (stride 3)
     do not interact and 3^nsd probe vectors — one batched vmap dispatch —
     recover every diagonal entry. (Galerkin RAP of a 3^nsd stencil under
     linear transfers is again a 3^nsd stencil, so this stays valid on MG
-    coarse levels.) Returns numpy [n]*nsd."""
+    coarse levels.) ``shape`` is an int (square/cubic grid, with ``nsd``)
+    or an explicit node-shape tuple (rectangular grids — the FPS channel
+    domains). Returns numpy [shape]."""
     import numpy as np
 
+    if np.isscalar(shape):
+        shape = (int(shape),) * int(nsd)
+    shape = tuple(int(s) for s in shape)
+    nsd = len(shape)
     probes, slices = [], []
     for offs in np.ndindex(*((3,) * nsd)):
-        e = np.zeros((n,) * nsd, np.float32)
+        e = np.zeros(shape, np.float32)
         sl = tuple(slice(o, None, 3) for o in offs)
         e[sl] = 1.0
         probes.append(e)
         slices.append(sl)
     outs_np = np.asarray(jax.vmap(A)(jnp.asarray(np.stack(probes))))
-    diag = np.zeros((n,) * nsd, np.float32)
+    diag = np.zeros(shape, np.float32)
     for k, sl in enumerate(slices):
         diag[sl] = outs_np[k][sl]
     return diag
@@ -256,6 +262,11 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
                              fine_matvec=None):
     """Matrix-free geometric-multigrid V-cycle preconditioner M ~ A^-1 for
     :func:`solve_linear` on node-aligned grid hierarchies (n = 2^k + 1).
+    ``n_fine`` may be an int (square/cubic; ``module_factory`` is called
+    with per-level ints) or a node-shape tuple like (ny, nx) for
+    RECTANGULAR grids (anisotropic channel domains; the factory is then
+    called with per-level shape tuples and ``n_coarse`` bounds the
+    smallest axis).
 
     TPU-idiomatic: every level's operator is the module's own fused
     residual assembly (element-tensor / GP pipeline), the prolongation is
@@ -324,13 +335,28 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
             "band is [lmax/cheb_alpha, lmax], and alpha <= 1 collapses "
             "it (delta <= 0 -> NaN recurrence)")
 
-    # grid hierarchy n_fine -> ... -> n_coarse (node-aligned halvings)
-    ns = [n_fine]
-    while ns[-1] > n_coarse:
-        nxt = (ns[-1] - 1) // 2 + 1
-        if (ns[-1] - 1) % 2 or nxt < 3:
+    # grid hierarchy n_fine -> ... -> n_coarse (node-aligned halvings).
+    # n_fine may be an int (square/cubic, factory called with ints — the
+    # historical contract) or a node-shape tuple like (ny, nx) for
+    # RECTANGULAR grids (the FPS channel domains): every axis halves
+    # together, the factory is called with the level's shape tuple, and
+    # n_coarse bounds the SMALLEST axis.
+    rect = not np.isscalar(n_fine)
+    if rect:
+        shapes = [tuple(int(s) for s in n_fine)]
+        nsd = len(shapes[0])
+    else:
+        shapes = [(int(n_fine),) * nsd]
+    while min(shapes[-1]) > n_coarse:
+        if any((s - 1) % 2 for s in shapes[-1]):
             break
-        ns.append(nxt)
+        nxt = tuple((s - 1) // 2 + 1 for s in shapes[-1])
+        if min(nxt) < 3:
+            break
+        shapes.append(nxt)
+    # factory keys / level labels: ints for the scalar contract, shape
+    # tuples for rectangular hierarchies
+    ns = shapes if rect else [s[0] for s in shapes]
 
     if inputs_per_level == "restrict":
         m_fine = module_factory(n_fine)
@@ -370,12 +396,13 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
 
     ops, omegas, invdiags, lams = [], [], [], []
     for li, n in enumerate(ns):
+        shape = shapes[li]
         if coarse_op == "galerkin" and li > 0:
             # A_l = P^T A_{l-1} P, matrix-free through the finer operator
-            fine_shape = (ns[li - 1],) * nsd
+            fine_shape = shapes[li - 1]
             _, vjp = jax.vjp(
                 lambda c, fs=fine_shape: prolong_field(c, fs),
-                jnp.zeros((n,) * nsd, jnp.float32))
+                jnp.zeros(shape, jnp.float32))
 
             def A(u, A_prev=ops[-1], fs=fine_shape, vjp=vjp):
                 return vjp(A_prev(prolong_field(u, fs)))[0]
@@ -394,7 +421,7 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
             def res(u, m=m, inputs=inputs, forcing=forcing):
                 return m.residual_for_field(u[None], inputs, forcing)[0]
 
-            zero = jnp.zeros((n,) * nsd, jnp.float32)
+            zero = jnp.zeros(shape, jnp.float32)
             b0 = res(zero)
 
             def A(u, res=res, b0=b0):
@@ -420,17 +447,17 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
             from .stencil import extract_verified, stencil_diag, \
                 stencil_matvec
 
-            C, defect = extract_verified(A, (n,) * nsd)
+            C, defect = extract_verified(A, shape)
             if defect <= 1e-4:
                 A = jax.jit(lambda u, C=C: stencil_matvec(C, u))
                 diag = np.asarray(stencil_diag(C))
             else:
-                diag = _colored_diag(A, n, nsd)
+                diag = _colored_diag(A, shape)
         else:
             # damped-JACOBI smoothing: the exact operator diagonal captures
             # the local coefficient scale, which plain Richardson cannot (a
             # ~50x nu contrast stalled the V-cycle at ~0.5/iter).
-            diag = _colored_diag(A, n, nsd)
+            diag = _colored_diag(A, shape)
         # Dirichlet rows are zeroed in the residual -> zero diagonal;
         # their smoothed update must stay zero, so park a 1.0 there
         invdiag = jnp.asarray(
@@ -442,7 +469,7 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
 
         # power iteration for ||D^-1 A||_2 to size the damping; 20 steps
         # is plenty for a smoothing-step bound
-        v = jnp.asarray(np.random.default_rng(0).random((n,) * nsd),
+        v = jnp.asarray(np.random.default_rng(0).random(shape),
                         jnp.float32)
         for _ in range(20):
             v = DinvA(v)
@@ -464,9 +491,9 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
     # rows -> pinv leaves them at zero, which is exactly right). ONE
     # batched vmap dispatch over the identity probes — the per-column
     # device-call loop was ndof (=729 at 3D nc=9) separate round trips
-    nc = ns[-1]
-    ndof = nc ** nsd
-    eye = jnp.eye(ndof, dtype=jnp.float32).reshape((ndof,) + (nc,) * nsd)
+    nc_shape = shapes[-1]
+    ndof = int(np.prod(nc_shape))
+    eye = jnp.eye(ndof, dtype=jnp.float32).reshape((ndof,) + nc_shape)
     cols = np.asarray(jax.vmap(ops[-1])(eye)).reshape(ndof, ndof)
     A0 = cols.T  # A0[:, i] = A e_i
     # rcond cuts the near-null modes from the Dirichlet rows: with a
@@ -512,8 +539,8 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
         u = smooth(level, jnp.zeros_like(b), b, n_smooth)
         r = b - A(u)
         # restriction = exact adjoint of the node-aligned prolongation
-        coarse_shape = (ns[level + 1],) * nsd
-        fine_shape = (ns[level],) * nsd
+        coarse_shape = shapes[level + 1]
+        fine_shape = shapes[level]
         _, vjp = jax.vjp(
             lambda c: prolong_field(c, fine_shape),
             jnp.zeros(coarse_shape, b.dtype))
@@ -626,25 +653,33 @@ def stokes_block_preconditioner(module, inputs_tensor=None, n_coarse=9,
     if inputs_tensor is None:
         inputs_tensor, _ = module.dataset[0]
     inputs = np.asarray(inputs_tensor)
-    n = module.node_shape[0]
+    node_shape = tuple(module.node_shape)  # (ny, nx)
+    lengths = (module.domain_lengthX, module.domain_lengthY)
     visco = module.viscosity
     bc_u = inputs[..., 2]
     bc_v = inputs[..., 3]
     bc_p = inputs[..., 4]
 
     def momentum_mg(mask):
-        ds_fine = _FieldDataset(np.full((n, n), visco, np.float32), mask)
+        ds_fine = _FieldDataset(np.full(node_shape, visco, np.float32),
+                                mask)
 
-        def factory(m_n):
-            m_p = Poisson2D(None, ds_fine if m_n == n else None,
-                            domain_size=m_n, batch_size=1,
+        def factory(m_shape):
+            if np.isscalar(m_shape):
+                m_shape = (int(m_shape),) * 2
+            ny_l, nx_l = m_shape
+            m_p = Poisson2D(None,
+                            ds_fine if tuple(m_shape) == node_shape
+                            else None,
+                            domain_sizes=(nx_l, ny_l),
+                            domain_lengths=lengths, batch_size=1,
                             loss_type="resmin")
             if momentum_reaction:
                 return _ReactionShifted(m_p, momentum_reaction)
             return m_p
 
         M, _ = multigrid_preconditioner(
-            factory, n, n_coarse=n_coarse, n_smooth=n_smooth,
+            factory, node_shape, n_coarse=n_coarse, n_smooth=n_smooth,
             inputs_per_level="restrict")
         return M
 
@@ -655,7 +690,6 @@ def stokes_block_preconditioner(module, inputs_tensor=None, n_coarse=9,
     # No bc_p masking: residual_for_field removes the pressure pin from
     # the Krylov operator (mean-control gauge instead — see pde/flow.py)
     basis = module.basis
-    node_shape = module.node_shape
 
     def KP(p):
         gp = fem.gp_eval(p, basis, ("dx", "dy"))
@@ -666,8 +700,8 @@ def stokes_block_preconditioner(module, inputs_tensor=None, n_coarse=9,
         gp = fem.gp_eval(p, basis, ("N",))["N"]
         return fem.galerkin_project(gp, basis, "N", node_shape)
 
-    dK = _colored_diag(jax.jit(KP), n, 2)
-    dM = _colored_diag(jax.jit(MP), n, 2)
+    dK = _colored_diag(jax.jit(KP), node_shape)
+    dM = _colored_diag(jax.jit(MP), node_shape)
     s_diag = module.pspg_param * dK + dM / visco
     inv_s = jnp.asarray(
         np.where(np.abs(s_diag) > 1e-12,
@@ -726,6 +760,10 @@ def _substitute_and_restore_gauge(module, inputs_tensor, inputs, sol):
     u, v, p = module.apply_bcs(
         (sol["u"][None], sol["v"][None], sol["p"][None]), inputs)
     u, v, p = np.asarray(u[0]), np.asarray(v[0]), np.asarray(p[0])
+    if getattr(module, "pressure_gauge", "mean-control") == "dirichlet":
+        # real p-Dirichlet rows (FPS outlet): apply_bcs already
+        # substituted them; nothing to restore
+        return (u, v, p)
     bc3 = np.asarray(inputs_tensor)[..., 4] > 0.5
     if bc3.any():
         p_bc = np.broadcast_to(np.asarray(module.p_bc), p.shape)

@@ -27,5 +27,7 @@ done
 
 time python examples/ns_fpc_parametric.py --max-epochs 2 --n-samples 4 --batch-size 2 --width 64 --height 32 --out-dir "$OUT"
 time python examples/eikonal_airfoil.py   --domain-size 32 --max-epochs 60 --out-dir "$OUT"
+time python examples/ns_fps.py            --eq stokes --re 1 --h 0.5 --out-dir "$OUT"
+time python examples/eikonal_parametric.py --net immdiff --n-train 3 --n-test 1 --domain-size 32 --n-points 48 --max-epochs 20 --out-dir "$OUT"
 time python examples/sweep.py --physics klsum --param n_train --values 8,16 --domain-size 16 --max-epochs 2 --out-dir "$OUT"
 echo "ALL EXAMPLES OK"
