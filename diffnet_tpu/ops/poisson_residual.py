@@ -56,29 +56,31 @@ def _build_tables(basis: FEMBasis):
     return NT, DXT, DYT, jxw
 
 
-def _strip_lr(u, nu, row0, tables, TY, nel):
+def _strip_lr(u, nu, row0, tables, TY, nel_rows, nel_cols):
     """Assembled Q1 contributions for output node rows [row0, row0+TY).
 
-    `u`/`nu` are (TY+2, >=nel+1) node strips covering PADDED rows
+    `u`/`nu` are (TY+2, >=nel_cols+1) node strips covering PADDED rows
     [row0, row0+TY+2) — i.e. real node rows [row0-1, row0+TY+1) under the
-    1-top-pad-row convention shared by both kernel variants. Returns
-    (left, right): left is the ib=0 column contribution for node cols
-    [0, nel), right the ib=1 contribution for node cols [1, n)."""
+    1-top-pad-row convention shared by both kernel variants. Rectangular
+    fields are supported: nel_rows bounds the element-ROW mask, nel_cols
+    the column slicing. Returns (left, right): left is the ib=0 column
+    contribution for node cols [0, nel_cols), right the ib=1 contribution
+    for node cols [1, ncols)."""
     NT, DXT, DYT, jxw = tables
 
-    # element corner fields for the TY+1 element rows x nel element cols
+    # element corner fields: TY+1 element rows x nel_cols element cols
     def corners(a):
         return (a[:-1, :-1], a[:-1, 1:], a[1:, :-1], a[1:, 1:])
 
-    uc = corners(u[:, :nel + 1])
-    nc = corners(nu[:, :nel + 1])
+    uc = corners(u[:, :nel_cols + 1])
+    nc = corners(nu[:, :nel_cols + 1])
 
-    # mask element ROWS whose global index is outside [0, nel); the
-    # column axis is already exactly nel wide (corners() slices to
-    # nel + 1 nodes), so no column mask is needed
-    e_row = (jax.lax.broadcasted_iota(jnp.int32, (TY + 1, nel), 0)
+    # mask element ROWS whose global index is outside [0, nel_rows); the
+    # column axis is already exactly nel_cols wide (corners() slices to
+    # nel_cols + 1 nodes), so no column mask is needed
+    e_row = (jax.lax.broadcasted_iota(jnp.int32, (TY + 1, nel_cols), 0)
              + row0 - 1)
-    valid = jnp.logical_and(e_row >= 0, e_row < nel).astype(u.dtype)
+    valid = jnp.logical_and(e_row >= 0, e_row < nel_rows).astype(u.dtype)
 
     acc = [None, None, None, None]
     for g in range(4):
@@ -100,12 +102,13 @@ def _strip_lr(u, nu, row0, tables, TY, nel):
     a2 = acc[2] * valid
     a3 = acc[3] * valid
     # jb=0 -> element local row j+1; jb=1 -> element local row j
-    left = a0[1:, :] + a2[:TY, :]    # column contribution ib=0 -> cols [0, nel)
-    right = a1[1:, :] + a3[:TY, :]   # ib=1 -> cols [1, n)
+    left = a0[1:, :] + a2[:TY, :]    # ib=0 -> cols [0, nel_cols)
+    right = a1[1:, :] + a3[:TY, :]   # ib=1 -> cols [1, ncols)
     return left, right
 
 
-def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TY, n, nel):
+def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TY, ncols,
+            nel_rows, nel_cols):
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -124,13 +127,14 @@ def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TY, n, nel):
     cp_nu.wait()
 
     left, right = _strip_lr(u_s[: TY + 2], nu_s[: TY + 2], row0,
-                            tables, TY, nel)
-    out_ref[0] = jnp.zeros((TY, n), left.dtype)
-    out_ref[0, :, :nel] = left
+                            tables, TY, nel_rows, nel_cols)
+    out_ref[0] = jnp.zeros((TY, ncols), left.dtype)
+    out_ref[0, :, :nel_cols] = left
     out_ref[0, :, 1:] = out_ref[0, :, 1:] + right
 
 
-def _kernel_bs(u_ref, nu_ref, out_ref, *, tables, TY, ntiles, n, nel):
+def _kernel_bs(u_ref, nu_ref, out_ref, *, tables, TY, ntiles, ncols,
+               nel_rows, nel_cols):
     """BlockSpec-only variant: the whole (padded) field arrives in VMEM via
     the automatic pipeline (grid over batch only — no manual DMA, no
     semaphores, no scratch), and a STATIC Python loop walks row strips so
@@ -141,9 +145,9 @@ def _kernel_bs(u_ref, nu_ref, out_ref, *, tables, TY, ntiles, n, nel):
         row0 = t * TY
         left, right = _strip_lr(u_ref[0, row0: row0 + TY + 2, :],
                                 nu_ref[0, row0: row0 + TY + 2, :],
-                                row0, tables, TY, nel)
-        out_ref[0, row0: row0 + TY, :] = jnp.zeros((TY, n), left.dtype)
-        out_ref[0, row0: row0 + TY, :nel] = left
+                                row0, tables, TY, nel_rows, nel_cols)
+        out_ref[0, row0: row0 + TY, :] = jnp.zeros((TY, ncols), left.dtype)
+        out_ref[0, row0: row0 + TY, :nel_cols] = left
         out_ref[0, row0: row0 + TY, 1:] = (
             out_ref[0, row0: row0 + TY, 1:] + right)
 
@@ -156,43 +160,44 @@ def _stiffness_fwd_bs(u, nu, basis: FEMBasis, tile_y: int = 128):
     VMEM. Guarded by the actual block-byte budget (2 input fields x 2
     buffers + 2 out buffers, leaving ~4 MB headroom for strip temporaries)
     — beyond that use the DMA variant (or the XLA path)."""
-    B, n, _ = u.shape
-    nel = n - 1
-    TY = min(tile_y, -(-n // 8) * 8)
-    assert TY % 8 == 0 or TY == n, "tile_y must be a multiple of 8"
-    ntiles = -(-n // TY)
+    B, nrows, ncols = u.shape
+    nel_rows, nel_cols = nrows - 1, ncols - 1
+    TY = min(tile_y, -(-nrows // 8) * 8)
+    assert TY % 8 == 0 or TY == nrows, "tile_y must be a multiple of 8"
+    ntiles = -(-nrows // TY)
     # 1 top halo pad row; bottom rows so every static strip
     # [t*TY, t*TY + TY + 2) is in range, rounded to the 8-row sublane
     # boundary; columns to the 128-lane boundary
     rows_pad = -(-(ntiles * TY + 2) // 8) * 8
-    CP = -(-n // 128) * 128
+    CP = -(-ncols // 128) * 128
     blk_bytes = 6 * rows_pad * CP * u.dtype.itemsize
     if blk_bytes > 12 * 2**20:
         raise ValueError(
-            f"blockspec variant holds the full field in VMEM; n={n} needs "
-            f"~{blk_bytes / 2**20:.0f} MB of pipeline blocks (> 12 MB "
-            "budget) — use variant='dma' or the XLA path")
-    cfg = ((0, 0), (1, rows_pad - n - 1), (0, CP - n))
+            "blockspec variant holds the full field in VMEM; "
+            f"{nrows}x{ncols} needs ~{blk_bytes / 2**20:.0f} MB of "
+            "pipeline blocks (> 12 MB budget) — use variant='dma' or the "
+            "XLA path")
+    cfg = ((0, 0), (1, rows_pad - nrows - 1), (0, CP - ncols))
     u_p = jnp.pad(u, cfg)
     nu_p = jnp.pad(nu, cfg)
     tables = _build_tables(basis)
 
     out = pl.pallas_call(
-        partial(_kernel_bs, tables=tables, TY=TY, ntiles=ntiles, n=n,
-                nel=nel),
+        partial(_kernel_bs, tables=tables, TY=TY, ntiles=ntiles,
+                ncols=ncols, nel_rows=nel_rows, nel_cols=nel_cols),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, rows_pad, CP), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, rows_pad, CP), lambda b: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, ntiles * TY, n), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, ntiles * TY, n), u.dtype),
+        out_specs=pl.BlockSpec((1, ntiles * TY, ncols), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, ntiles * TY, ncols), u.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=int(150 * B * nel * nel),
-            bytes_accessed=int(3 * 4 * B * n * n),
+            flops=int(150 * B * nel_rows * nel_cols),
+            bytes_accessed=int(3 * 4 * B * nrows * ncols),
             transcendentals=0),
     )(u_p, nu_p)
-    return out[:, :n]
+    return out[:, :nrows]
 
 
 def _stiffness_fwd_impl(u, nu, basis: FEMBasis, tile_y: int = 128,
@@ -202,48 +207,50 @@ def _stiffness_fwd_impl(u, nu, basis: FEMBasis, tile_y: int = 128,
     if variant != "dma":
         raise ValueError(f"unknown kernel variant {variant!r} "
                          "(expected 'dma' or 'blockspec')")
-    B, n, _ = u.shape
-    nel = n - 1
-    TY = min(tile_y, -(-n // 8) * 8)
-    ntiles = -(-n // TY)
+    B, nrows, ncols = u.shape
+    nel_rows, nel_cols = nrows - 1, ncols - 1
+    TY = min(tile_y, -(-nrows // 8) * 8)
+    ntiles = -(-nrows // TY)
     # pad: 1 top halo row + bottom rows so every strip [t*TY, t*TY+TY+2) is
     # in range (padded rows are masked out of the element sums); columns
     # padded to the 128-lane boundary required by DMA slicing
-    assert TY % 8 == 0 or TY == n, "tile_y must be a multiple of 8"
+    assert TY % 8 == 0 or TY == nrows, "tile_y must be a multiple of 8"
     pad_rows = ntiles * TY + 8
-    CP = -(-n // 128) * 128
-    cfg = ((0, 0), (1, pad_rows - n - 1), (0, CP - n))
+    CP = -(-ncols // 128) * 128
+    cfg = ((0, 0), (1, pad_rows - nrows - 1), (0, CP - ncols))
     u_p = jnp.pad(u, cfg)
     nu_p = jnp.pad(nu, cfg)
     tables = _build_tables(basis)
 
     out = pl.pallas_call(
-        partial(_kernel, tables=tables, TY=TY, n=n, nel=nel),
+        partial(_kernel, tables=tables, TY=TY, ncols=ncols,
+                nel_rows=nel_rows, nel_cols=nel_cols),
         grid=(B, ntiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, TY, n), lambda b, t: (b, t, 0),
+        out_specs=pl.BlockSpec((1, TY, ncols), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, ntiles * TY, n), u.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, ntiles * TY, ncols), u.dtype),
         scratch_shapes=[
             pltpu.VMEM((TY + 8, CP), u.dtype),
             pltpu.VMEM((TY + 8, CP), u.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=int(150 * B * nel * nel),
-            bytes_accessed=int(3 * 4 * B * n * n),
+            flops=int(150 * B * nel_rows * nel_cols),
+            bytes_accessed=int(3 * 4 * B * nrows * ncols),
             transcendentals=0),
     )(u_p, nu_p)
-    return out[:, :n]
+    return out[:, :nrows]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def poisson_stiffness_action(u, nu, basis: FEMBasis, tile_y: int = 128,
                              variant: str = "dma"):
-    """Ku = assembled ∫ nu grad(N_i)·grad(u): [B, n, n] -> [B, n, n]."""
+    """Ku = assembled ∫ nu grad(N_i)·grad(u): [B, ny, nx] -> [B, ny, nx]
+    (rectangular fields supported — channel grids, shard_map blocks)."""
     return _stiffness_fwd_impl(u, nu, basis, tile_y, variant)
 
 

@@ -29,7 +29,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..core import fem
 from ..core.quadrature import FEMBasis
 
-__all__ = ["poisson_residual_spatial"]
+__all__ = ["poisson_residual_spatial", "poisson_stiffness_spatial_fused"]
 
 
 def _local_contrib(u_halo, nu_halo, basis, shard_idx, n_shards, nel_rows_loc):
@@ -84,5 +84,64 @@ def poisson_residual_spatial(u, nu, basis: FEMBasis, mesh,
         local_fn, mesh=mesh,
         in_specs=(P(None, axis_name, None), P(None, axis_name, None)),
         out_specs=P(None, axis_name, None))
+    spec = NamedSharding(mesh, P(None, axis_name, None))
+    return fn(jax.device_put(u, spec), jax.device_put(nu, spec))
+
+
+def poisson_stiffness_spatial_fused(u, nu, basis: FEMBasis, mesh,
+                                    axis_name: str = "space",
+                                    variant: str = "blockspec",
+                                    tile_y: int = 128):
+    """The fused Pallas stiffness kernel (ops/poisson_residual.py) composed
+    with the explicit shard_map halo-exchange pattern above — the
+    multi-chip Pallas path this module declared itself the blueprint for
+    (VERDICT r3 item 6).
+
+    Per shard: one ppermute halo row each way (mesh.halo_exchange_y), the
+    rectangular fused kernel over the (n_loc + 2)-row block, keep own node
+    rows. The kernel assembles ALL block element rows, so the two DOMAIN-
+    EDGE shards see one phantom element row spanning the zero-filled outer
+    halo; its (nonzero: nu interpolates from the real row) contribution to
+    the kept edge node row is recomputed with the XLA element path on the
+    2-row strip and subtracted — O(1/n_loc) extra work, exact equality
+    with the unsharded kernel (pinned by tests/test_pallas_kernel.py).
+
+    u, nu: [B, ny, nx], rows divisible by the 'space' axis size.
+    """
+    from ..ops import poisson_stiffness_action
+    from .mesh import halo_exchange_y
+
+    n = u.shape[-2]
+    S = mesh.shape[axis_name]
+    assert n % S == 0, f"rows {n} not divisible by space={S}"
+
+    def strip_R(ub, nub):
+        gp = fem.gp_eval(ub, basis, ("dx", "dy"))
+        nug = fem.gp_eval(nub, basis, ("N",))["N"]
+        return fem.galerkin_project_multi(
+            [(nug * gp["dx"], "dx"), (nug * gp["dy"], "dy")],
+            basis, ub.shape[-2:])
+
+    def local_fn(u_loc, nu_loc):
+        idx = jax.lax.axis_index(axis_name)
+        ub = halo_exchange_y(u_loc, axis_name, 1)
+        nub = halo_exchange_y(nu_loc, axis_name, 1)
+        R = poisson_stiffness_action(ub, nub, basis, tile_y, variant)
+        # phantom-element corrections at the domain edges (halo zero-fill)
+        first = (idx == 0).astype(R.dtype)
+        last = (idx == S - 1).astype(R.dtype)
+        Rt = strip_R(ub[:, 0:2], nub[:, 0:2])
+        Rb = strip_R(ub[:, -2:], nub[:, -2:])
+        R = R.at[:, 1].add(-first * Rt[:, 1])
+        R = R.at[:, -2].add(-last * Rb[:, 0])
+        return R[:, 1:-1, :]
+
+    # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+    # annotation, and this JAX's shard_map rejects that under its default
+    # vma checking (the manual ppermute pattern is vma-opaque anyway)
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, axis_name, None), P(None, axis_name, None)),
+        out_specs=P(None, axis_name, None), check_rep=False)
     spec = NamedSharding(mesh, P(None, axis_name, None))
     return fn(jax.device_put(u, spec), jax.device_put(nu, spec))

@@ -449,3 +449,41 @@ def test_fused_mgcg_solve_variable_nu():
                       loss_type="resmin")
     u_ref, _ = module_linear_solve(m_ref, tol=1e-10, assemble="stencil")
     np.testing.assert_allclose(u, u_ref, atol=5e-5)
+
+
+def test_rectangular_stiffness_matches_xla():
+    """Rectangular (ny != nx) fields — channel grids and shard_map halo
+    blocks (the kernel originally assumed square)."""
+    ny, nx = 24, 49
+    basis = make_basis(2, 1, h=(1.0 / (nx - 1), 1.0 / (ny - 1)))
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.random((2, ny, nx)), jnp.float32)
+    nu = jnp.asarray(rng.random((2, ny, nx)), jnp.float32)
+    gp = fem.gp_eval(u, basis, ("dx", "dy"))
+    nug = fem.gp_eval(nu, basis, ("N",))["N"]
+    Kx = (fem.galerkin_project(nug * gp["dx"], basis, "dx", (ny, nx))
+          + fem.galerkin_project(nug * gp["dy"], basis, "dy", (ny, nx)))
+    for variant in ("dma", "blockspec"):
+        Kp = pr._stiffness_fwd_impl(u, nu, basis, 16, variant)
+        np.testing.assert_allclose(np.asarray(Kp), np.asarray(Kx),
+                                   atol=2e-6)
+
+
+def test_spatial_shard_map_fused_equals_unsharded():
+    """Pallas kernel under shard_map with explicit ppermute halo exchange
+    (parallel/spatial.py::poisson_stiffness_spatial_fused) == the
+    unsharded kernel, on the virtual 8-device mesh (VERDICT r3 item 6:
+    compose the fused kernel with the spatial-sharding pattern)."""
+    from diffnet_tpu.parallel.mesh import make_mesh
+    from diffnet_tpu.parallel.spatial import poisson_stiffness_spatial_fused
+
+    n = 32
+    basis = make_basis(2, 1, h=(1.0 / (n - 1),) * 2)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.random((2, n, n)), jnp.float32)
+    nu = jnp.asarray(rng.random((2, n, n)), jnp.float32)
+    K1 = pr._stiffness_fwd_impl(u, nu, basis, 16, "blockspec")
+    mesh = make_mesh(space=4)
+    K4 = poisson_stiffness_spatial_fused(u, nu, basis, mesh,
+                                         variant="blockspec", tile_y=16)
+    np.testing.assert_allclose(np.asarray(K4), np.asarray(K1), atol=2e-6)
