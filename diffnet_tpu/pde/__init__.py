@@ -13,6 +13,7 @@ from .flow import (  # noqa: F401
 )
 from .helmholtz import Helmholtz2D  # noqa: F401
 from .ibn import IBNPoisson2D, IBNPoisson3D  # noqa: F401
-from .poisson import Poisson2D, Poisson3D, PoissonFDM2D  # noqa: F401
+from .poisson import (Poisson2D, Poisson3D, PoissonFDM2D,  # noqa: F401
+                      PoissonTwoDof2D)
 from .spacetime import AllenCahnIceMelt, BurgersSpaceTime, SpaceTimeHeat  # noqa: F401
 from .topopt import TopOpt2D  # noqa: F401

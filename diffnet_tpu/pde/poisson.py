@@ -31,6 +31,7 @@ __all__ = [
     "Poisson2D",
     "Poisson3D",
     "PoissonFDM2D",
+    "PoissonTwoDof2D",
 ]
 
 
@@ -305,6 +306,62 @@ class Poisson3D(_PoissonCommon, FEM3DModule):
         if kwargs.get("mms_dirichlet", False) and self.exact_solution:
             self.u_bc = np.asarray(
                 self.exact_solution(self.xx, self.yy, self.zz), np.float32)
+
+
+class PoissonTwoDof2D(FEM2DModule):
+    """Mixed first-order ('two extra dofs') strong form: unknowns
+    (u, mx, my) with the flux variables m = nu grad u carried as their own
+    fields so only FIRST derivatives appear — usable at deg 1, unlike the
+    second-derivative collocation loss (reference
+    examples/poisson/single_instance/
+    11_manufactured_strong_form_two_dofs.py:37-71):
+
+        L = mean_e[ sum_gp gpw ((mx - nu u_x)^2 + (my - nu u_y)^2)
+                               + gpw ((mx_x + my_y) + f)^2 ]
+
+    i.e. flux matching plus the conservation law div m + f = 0
+    (-div(nu grad u) = f). Dirichlet: u = 1 on bc1, u = 0 on bc2
+    (the reference's where-substitutions, lines 50-51); the flux fields
+    are unconstrained. ``pred`` is a tuple/list (u, mx, my) (e.g.
+    ``DirectField(n_fields=3)``) or a stacked [..., 3] channels-last
+    tensor; inputs channels (nu, bc1, bc2).
+    """
+
+    def __init__(self, network=None, dataset=None, **kwargs):
+        super().__init__(network, dataset, **kwargs)
+
+    def _split(self, pred):
+        if isinstance(pred, (tuple, list)):
+            return tuple(_squeeze_field(f) for f in pred)
+        return pred[..., 0], pred[..., 1], pred[..., 2]
+
+    def apply_bcs(self, pred, inputs_tensor):
+        u, mx, my = self._split(pred)
+        u = self.apply_dirichlet(u, inputs_tensor[..., 1], 1.0)
+        u = self.apply_dirichlet(u, inputs_tensor[..., 2], 0.0)
+        return u, mx, my
+
+    def loss(self, pred, inputs_tensor, forcing_tensor):
+        u, mx, my = self.apply_bcs(pred, inputs_tensor)
+        nu = inputs_tensor[..., 0]
+        f = _squeeze_field(forcing_tensor)
+
+        # one fused contraction for all three fields x (N, dx, dy)
+        quants = ("N", "dx", "dy")
+        from ..core import fem
+        stacked = jnp.stack([u, mx, my], axis=0)
+        allgp = fem.gp_eval_stacked(stacked, self.basis, quants)
+        ugp = {q: allgp[0, ..., i, :] for i, q in enumerate(quants)}
+        mxgp = {q: allgp[1, ..., i, :] for i, q in enumerate(quants)}
+        mygp = {q: allgp[2, ..., i, :] for i, q in enumerate(quants)}
+        nu_gp = self.gauss_pt_evaluation(nu)
+        f_gp = self.gauss_pt_evaluation(f)
+
+        w = jnp.asarray(self.gpw, u.dtype)  # gpw-only (reference line 66)
+        res1 = ((mxgp["N"] - nu_gp * ugp["dx"]) ** 2
+                + (mygp["N"] - nu_gp * ugp["dy"]) ** 2)
+        res2 = (mxgp["dx"] + mygp["dy"] + f_gp) ** 2
+        return jnp.mean(jnp.sum(w * (res1 + res2), axis=-1))
 
 
 class PoissonFDM2D(FDMModule):
