@@ -339,7 +339,7 @@ def _ns_fwd_impl(u, v, p, fx, fy, basis: FEMBasis, visco: float,
         partial(_kernel, tables=tables, TY=TY, n=n, nel=nel,
                 hx=float(hx), hy=float(hy), visco=float(visco), has_f=has_f),
         grid=(B, ntiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 5,
         out_specs=[out_spec] * 3,
         out_shape=[out_shape] * 3,
         scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((5,))],

@@ -115,7 +115,7 @@ def _energy_fwd_impl(u, nu, f, basis: FEMBasis, tile_y: int = 128):
     out = pl.pallas_call(
         partial(_kernel, tables=tables, TY=TY, nel=nel),
         grid=(B, ntiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
         out_specs=pl.BlockSpec((1, 1, 128), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, ntiles, 128), u.dtype),

@@ -227,8 +227,8 @@ def _stiffness_fwd_impl(u, nu, basis: FEMBasis, tile_y: int = 128,
                 nel_rows=nel_rows, nel_cols=nel_cols),
         grid=(B, ntiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((1, TY, ncols), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),

@@ -51,52 +51,6 @@ def _build_tables_3d(basis: FEMBasis):
             [float(v) for v in basis.jxw])
 
 
-def _slab_contribs(u, nu, row0, tables, TZ, n, nel):
-    """Masked per-basis-function element-layer contributions for output
-    node planes [row0, row0+TZ).
-
-    `u`/`nu` are (>=TZ+2, >=n, >=n) node slabs covering PADDED planes
-    [row0, row0+TZ+2) — real planes [row0-1, row0+TZ+1) under the shared
-    1-top-pad-plane convention. Returns the 8 masked accumulators
-    `a[IBF]` of shape [TZ+1, nel, nel] (IBF = (kbf*2 + jbf)*2 + ibf)."""
-    NT, DXT, DYT, DZT, jxw = tables
-
-    def corners(s):
-        # IBF = (kbf*2 + jbf)*2 + ibf, i <-> x fastest (core/fem.py layout)
-        a = s[: TZ + 2, : n, : n]
-        out = []
-        for kbf in (0, 1):
-            for jbf in (0, 1):
-                for ibf in (0, 1):
-                    out.append(a[kbf:kbf + TZ + 1,
-                                 jbf:jbf + nel, ibf:ibf + nel])
-        return out
-
-    uc = corners(u)
-    nc = corners(nu)
-
-    # mask element layers whose global z index is outside [0, nel); y/x
-    # element extents are exact by construction of the corner slices
-    e_lay = (jax.lax.broadcasted_iota(jnp.int32, (TZ + 1, nel, nel), 0)
-             + row0 - 1)
-    valid = jnp.logical_and(e_lay >= 0, e_lay < nel).astype(u.dtype)
-
-    acc = [None] * 8
-    for g in range(8):
-        ux = sum(DXT[g][k] * uc[k] for k in range(8))
-        uy = sum(DYT[g][k] * uc[k] for k in range(8))
-        uz = sum(DZT[g][k] * uc[k] for k in range(8))
-        nug = sum(NT[g][k] * nc[k] for k in range(8))
-        gx = (jxw[g] * nug) * ux
-        gy = (jxw[g] * nug) * uy
-        gz = (jxw[g] * nug) * uz
-        for ibf in range(8):
-            contrib = DXT[g][ibf] * gx + DYT[g][ibf] * gy + DZT[g][ibf] * gz
-            acc[ibf] = contrib if acc[ibf] is None else acc[ibf] + contrib
-
-    return [x * valid for x in acc]
-
-
 def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TZ, n, nel):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -113,18 +67,13 @@ def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TZ, n, nel):
     cp_u.wait()
     cp_nu.wait()
 
-    a = _slab_contribs(u_s, nu_s, row0, tables, TZ, n, nel)
-    # Q1 assembly, z first: node plane z (local) <- element layer z+1 for
-    # kbf=0, layer z for kbf=1  (same shift pattern as the 2D kernel rows)
-    out_ref[0] = jnp.zeros((TZ, n, n), a[0].dtype)
-    for jbf in (0, 1):
-        for ibf in (0, 1):
-            lo = 4 * 0 + 2 * jbf + ibf   # kbf = 0
-            hi = 4 * 1 + 2 * jbf + ibf   # kbf = 1
-            az = a[lo][1:] + a[hi][:TZ]  # [TZ, nel, nel]
-            ysl = slice(jbf, jbf + nel)
-            xsl = slice(ibf, ibf + nel)
-            out_ref[0, :, ysl, xsl] = out_ref[0, :, ysl, xsl] + az
+    # per-element-layer body (shared with the blockspec variant): the
+    # previous slab-at-once dataflow (_slab_contribs) held ~8 slab
+    # accumulators + GP temporaries live and compile-OOM'd the 16 MB
+    # scoped-VMEM budget at 128^3 (35.6 MB)
+    _layer_assemble(lambda i: u_s[i, :n, :n],
+                    lambda i: nu_s[i, :n, :n],
+                    out_ref, row0, tables, TZ, n, nel)
 
 
 def _kernel3d_bs(u_ref, nu_ref, out_ref, *, tables, TZ, n, nel):
@@ -138,18 +87,31 @@ def _kernel3d_bs(u_ref, nu_ref, out_ref, *, tables, TZ, n, nel):
     Both structure choices were load-bearing on chip (round 4): the
     whole-volume out block + slab-sized temporaries overflowed the 16 MB
     scoped-VMEM budget at 64^3 bs4 (16.3-17.4 MB compile OOM)."""
-    NT, DXT, DYT, DZT, jxw = tables
     t = pl.program_id(1)
     row0 = t * TZ
-    out_ref[0] = jnp.zeros((TZ, n, n), u_ref.dtype)
+    _layer_assemble(lambda i: u_ref[0, row0 + i, :n, :n],
+                    lambda i: nu_ref[0, row0 + i, :n, :n],
+                    out_ref, row0, tables, TZ, n, nel)
+
+
+def _layer_assemble(uplane, nuplane, out_ref, row0, tables, TZ, n, nel):
+    """Shared per-element-layer assembly body: walks the TZ+1 element
+    layers of one z-tile, reading padded node planes via ``uplane(i)`` /
+    ``nuplane(i)`` (i = local padded-plane index in [0, TZ+2)) and
+    accumulating into ``out_ref[0, :TZ]``. Per-layer temporaries are 2D
+    planes (~tens-hundreds of KB) — the slab-sized dataflow overflowed
+    the 16 MB scoped-VMEM budget (compile OOM at 64^3 bs4 for blockspec,
+    at 128^3 for the DMA variant: 35.6 MB)."""
+    NT, DXT, DYT, DZT, jxw = tables
+    out_ref[0] = jnp.zeros((TZ, n, n), uplane(0).dtype)
     for lay in range(TZ + 1):
-        # element layer between padded node planes row0+lay, row0+lay+1
-        # == real planes row0+lay-1, row0+lay; valid iff the global
-        # element-layer index row0+lay-1 is in [0, nel)
-        u0 = u_ref[0, row0 + lay, :n, :n]
-        u1 = u_ref[0, row0 + lay + 1, :n, :n]
-        n0 = nu_ref[0, row0 + lay, :n, :n]
-        n1 = nu_ref[0, row0 + lay + 1, :n, :n]
+        # element layer between padded node planes lay, lay+1 == real
+        # planes row0+lay-1, row0+lay; valid iff the global element-layer
+        # index row0+lay-1 is in [0, nel)
+        u0 = uplane(lay)
+        u1 = uplane(lay + 1)
+        n0 = nuplane(lay)
+        n1 = nuplane(lay + 1)
 
         def corners(p0, p1):
             # IBF = (kbf*2 + jbf)*2 + ibf (x fastest; kbf picks the plane)
@@ -159,7 +121,7 @@ def _kernel3d_bs(u_ref, nu_ref, out_ref, *, tables, TZ, n, nel):
         uc = corners(u0, u1)
         nc = corners(n0, n1)
         glob = row0 + lay - 1
-        valid = jnp.logical_and(glob >= 0, glob < nel).astype(u_ref.dtype)
+        valid = jnp.logical_and(glob >= 0, glob < nel).astype(u0.dtype)
         acc = [None] * 8
         for g in range(8):
             ux = sum(DXT[g][k] * uc[k] for k in range(8))
@@ -249,8 +211,8 @@ def _stiffness3d_fwd_impl(u, nu, basis: FEMBasis, tile_z: int = 8,
         partial(_kernel, tables=tables, TZ=TZ, n=n, nel=nel),
         grid=(B, ntiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((1, TZ, n, n), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
