@@ -162,7 +162,16 @@ def nurbs_curve(control_points, weights=None, degree=3, n_samples=200,
 
 class ParametricNURBS:
     """Ensemble of NURBS boundary clouds from randomized control polygons
-    (the 09_airfoil.py parametric geometry pipeline, external-data-free)."""
+    (the 09_airfoil.py parametric geometry pipeline, external-data-free;
+    the sibling 02_sum.py/05_largenet.py/06_normals.py load the same
+    cloud+normals+area stacks from checked-in npz instead).
+
+    Samples are (cloud[Np, 5], forcing[n, n, 1], sink[n, n, 1]) triples —
+    the IBNPoisson2D 'winding' batch contract. Forcing is ONES: the
+    ensemble trains the immersed Poisson fill -lap(u) = 1 with u = 0
+    inside the winding-number occupancy
+    (02_sum.py:84 ``forcing = np.ones_like(self.domain)`` and the
+    loss at 02_sum.py:131-185)."""
 
     def __init__(self, n_samples=64, n_control=8, n_points=150,
                  domain_size=32, seed=0):
@@ -183,7 +192,8 @@ class ParametricNURBS:
 
     def __getitem__(self, idx):
         n = self.domain_size
-        return self.clouds[idx], np.zeros((n, n, 1), np.float32)
+        return (self.clouds[idx], np.ones((n, n, 1), np.float32),
+                np.zeros((n, n, 1), np.float32))
 
 
 class Burg2DXT:

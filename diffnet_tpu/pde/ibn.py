@@ -12,6 +12,7 @@ directly as a dataset channel) is the same module with
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.geometry import occupancy_from_cloud
@@ -38,13 +39,25 @@ class IBNPoisson2D(FEM2DModule):
         self.source_from = source_from
         self.winding_threshold = winding_threshold
         self.neumann = neumann
+        # Dirichlet value INSIDE the immersed object: 1.0 is the IBN
+        # source convention (IBN_2D.py:136-148); the parametric eikonal
+        # ensemble pins the zero level set instead — u = 0 inside
+        # (02_sum.py:160 ``u = where(winding > 0.1, u*0, u)``)
+        self.bc1_value = float(kwargs.get("bc1_value", 1.0))
         # 'energy' (IBN_2D.py:116-134) or 'resmin' — the winding-number
         # Galerkin-residual variant (09_airfoil.py loss_poisson_windingnumber,
         # examples/eiqonal/parametric/09_airfoil.py:238-291)
         self.ibn_loss_type = ibn_loss_type
-        # 'chi' (default: net consumes the occupancy grid) or 'cloud'
-        # (net consumes the raw point cloud, e.g. DGCNN2D / ImmDiff)
+        # 'chi' (default: net consumes the occupancy grid), 'cloud'
+        # (net consumes the raw point cloud, e.g. DGCNN2D / ImmDiff), or
+        # 'cloud_normals' (net consumes (points, normals) — the
+        # ImmDiffLargeNormals two-input variant,
+        # examples/eiqonal/parametric/06_normals.py:192)
         self.network_input = network_input
+        # weight on the VAE KL term when the network returns
+        # (out, mu, logvar) — the ImmDiffVAE ensemble trainer
+        # (examples/eiqonal/parametric/03_sum_vae.py)
+        self.vae_kl_weight = float(kwargs.get("vae_kl_weight", 1e-4))
 
     # -- forward ---------------------------------------------------------
     def forward(self, params, batch):
@@ -59,14 +72,9 @@ class IBNPoisson2D(FEM2DModule):
                 (self.domain_lengthX, self.domain_lengthY),
                 threshold=self.winding_threshold)
             source = chi[..., None]  # [B, H, W, 1]
-            if self.network_input == "cloud":
-                # point-cloud-consuming networks (DGCNN / ImmDiff): the net
-                # maps the raw cloud to the solution grid (reference
-                # IBN_DGCNN2d wrapper, immdiff_networks.py:119-135); the
-                # winding chi is still used for the immersed masking
-                u = self.network.apply(params, cloud[..., 0:2])
-            else:
-                u = self.network.apply(params, source)
+            u = self._apply_net(params, cloud, source)
+            if isinstance(u, tuple):   # VAE head: (out, mu, logvar)
+                u = u[0]
             inputs = jnp.concatenate(
                 [jnp.ones_like(source), source, sink], axis=-1)
             return u, inputs, forcing
@@ -74,10 +82,61 @@ class IBNPoisson2D(FEM2DModule):
         u = self.network.apply(params, inputs)
         return u, inputs, forcing
 
+    def _apply_net(self, params, cloud, source):
+        """Raw network application — may return (out, mu, logvar) for VAE
+        heads (callers that cannot consume the tuple take [0])."""
+        if self.network_input == "cloud":
+            # point-cloud-consuming networks (DGCNN / ImmDiff): the net
+            # maps the raw cloud to the solution grid (reference
+            # IBN_DGCNN2d wrapper, immdiff_networks.py:119-135); the
+            # winding chi is still used for the immersed masking
+            return self.network.apply(params, cloud[..., 0:2])
+        if self.network_input == "cloud_normals":
+            return self.network.apply(params, cloud[..., 0:2],
+                                      cloud[..., 2:4])
+        return self.network.apply(params, source)
+
+    def training_loss(self, params, batch):
+        """Adds the beta-weighted KL regularizer when the network is a VAE
+        head (returns (out, mu, logvar) — ImmDiffVAE, 03_sum_vae.py);
+        otherwise identical to the base loss-of-forward."""
+
+        def _fwd_loss(params, batch):
+            if self.source_from != "winding":
+                u, inputs, forcing = self.forward(params, batch)
+                return jnp.mean(self.loss(u, inputs, forcing))
+            cloud, forcing, sink = batch
+            pts = cloud[..., 0:2]
+            nrm = cloud[..., 2:4]
+            area = cloud[..., 4]
+            chi = occupancy_from_cloud(
+                pts, nrm, area,
+                (self.domain_sizeY, self.domain_sizeX),
+                (self.domain_lengthX, self.domain_lengthY),
+                threshold=self.winding_threshold)
+            source = chi[..., None]
+            u = self._apply_net(params, cloud, source)
+            kl = 0.0
+            if isinstance(u, tuple):
+                u, mu, logvar = u
+                kl = -0.5 * jnp.mean(jnp.sum(
+                    1.0 + logvar - mu**2 - jnp.exp(logvar), axis=-1))
+            inputs = jnp.concatenate(
+                [jnp.ones_like(source), source, sink], axis=-1)
+            return (jnp.mean(self.loss(u, inputs, forcing))
+                    + self.vae_kl_weight * kl)
+
+        if self.remat:
+            return jax.checkpoint(_fwd_loss)(params, batch)
+        return _fwd_loss(params, batch)
+
     def init_params(self, rng, sample_batch):
         if self.source_from == "winding":
             if self.network_input == "cloud":
                 return self.network.init(rng, sample_batch[0][..., 0:2])
+            if self.network_input == "cloud_normals":
+                return self.network.init(rng, sample_batch[0][..., 0:2],
+                                         sample_batch[0][..., 2:4])
             b = sample_batch[0].shape[0]
             chi = jnp.zeros((b, self.domain_sizeY, self.domain_sizeX, 1))
             return self.network.init(rng, chi)
@@ -95,8 +154,35 @@ class IBNPoisson2D(FEM2DModule):
             if inputs_tensor.shape[-1] > 3:
                 u = self.apply_dirichlet(u, inputs_tensor[..., 3], 0.0)
             return u
-        u = self.apply_dirichlet(u, inputs_tensor[..., 1], 1.0)
+        u = self.apply_dirichlet(u, inputs_tensor[..., 1], self.bc1_value)
         return self.apply_dirichlet(u, inputs_tensor[..., 2], 0.0)
+
+    def residual_for_field(self, u, inputs_tensor, forcing_tensor):
+        """Assembled Galerkin residual for the matrix-free Krylov path
+        (train.linear.module_linear_solve): the immersed Poisson problem
+        is AFFINE in u — Dirichlet substitution on the constrained set
+        (object interior chi=bc1 plus any outer bc2), rows zeroed there.
+        inputs channels (nu, bc1, bc2) — the stack forward() assembles.
+        Gives the direct single-geometry solution the parametric-ensemble
+        network is evaluated against (held-out-geometry ground truth)."""
+        from .poisson import _squeeze_field, poisson_resmin_residual
+
+        u = _squeeze_field(u)
+        nu = inputs_tensor[..., 0]
+        bc1 = inputs_tensor[..., 1]
+        bc2 = inputs_tensor[..., 2]
+        f = _squeeze_field(forcing_tensor)
+        if self.neumann:
+            nu = jnp.where(bc1 > 0.5, jnp.zeros_like(nu), nu)
+            dirichlet = bc2
+            if inputs_tensor.shape[-1] > 3:
+                dirichlet = jnp.maximum(bc2, inputs_tensor[..., 3])
+        else:
+            dirichlet = jnp.maximum(bc1, bc2)
+        u = self.apply_bcs(u, inputs_tensor)
+        return poisson_resmin_residual(
+            self, u, self.gauss_pt_evaluation(nu),
+            self.gauss_pt_evaluation(f), dirichlet)
 
     # -- loss ------------------------------------------------------------
     def loss(self, u, inputs_tensor, forcing_tensor):

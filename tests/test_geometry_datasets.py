@@ -44,7 +44,8 @@ def test_parametric_nurbs_with_winding():
     from diffnet_tpu.data.geometry_datasets import ParametricNURBS
 
     ds = ParametricNURBS(n_samples=2, domain_size=24, seed=1)
-    cloud, forcing = ds[0]
+    cloud, forcing, sink = ds[0]
+    assert forcing.shape == (24, 24, 1) and float(forcing.min()) == 1.0
     chi = occupancy_from_cloud(
         jnp.asarray(cloud[None, :, 0:2]), jnp.asarray(cloud[None, :, 2:4]),
         jnp.asarray(cloud[None, :, 4]), (24, 24))
