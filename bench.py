@@ -474,6 +474,53 @@ def _steps_per_sec():
         _ = float(l)  # host scalar readback closes the chain
         return float(f"{iters / (time.perf_counter() - t0):.4g}")
 
+    def tier_scan(bs, K, reps):
+        # K optimizer steps inside ONE lax.scan dispatch: if the per-step
+        # dispatch LOOP is what degrades the relay (round-4 observation:
+        # the bs4 loop banked but poisoned the next probe), this variant
+        # issues 1/K as many dispatches for the same step count
+        module = IBNPoisson2D(net, source_from="inputs", domain_size=n,
+                              batch_size=bs)
+        inputs = jnp.asarray(rng.random((bs, n, n, 3)), jnp.float32)
+        forcing = jnp.asarray(rng.random((bs, n, n, 1)), jnp.float32)
+        params = net.init(jax.random.key(0), inputs)
+        opt = optax.adam(3e-4)
+        opt_state = opt.init(params)
+
+        def loss_fn(params):
+            u = net.apply(params, inputs)
+            return module.loss(u, inputs, forcing)
+
+        def body(carry, _):
+            params, opt_state = carry
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(g, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        @jax.jit
+        def steps(params, opt_state):
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=K)
+            return params, opt_state, losses[-1]
+
+        params, opt_state, l = steps(params, opt_state)
+        _ = float(l)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            params, opt_state, l = steps(params, opt_state)
+        _ = float(l)
+        return float(f"{reps * K / (time.perf_counter() - t0):.4g}")
+
+    # the SCAN tier goes first: round-4 on-chip runs showed the per-step
+    # dispatch LOOP is what wedges the relay (the bs4 loop banked once,
+    # then poisoned the next probe; a later run wedged before banking
+    # anything) — the scan variant issues 1/K as many dispatches
+    if on_tpu:
+        if not _probe_relay(30):
+            bank("steps_wedge_before_tier", "bs4_scan10")
+            return out
+        bank("ibn32_train_steps_per_sec_bs4_scan10", tier_scan(4, 10, 3))
+
     best = None
     for bs, iters in ((4, 10), (16, 20), (64, 40), (128, 40)):
         if on_tpu and not _probe_relay(30):
