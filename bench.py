@@ -764,6 +764,89 @@ def _steps_field_fallback():
     _ = float(l)
     out["train_steps_per_sec_field_scan10"] = float(
         f"{reps * K / (time.perf_counter() - t0):.4g}")
+    # stream before the Pallas tier: a wedge there must not lose the
+    # banked XLA tiers (the all-or-nothing pattern cost r3 two phases)
+    print(json.dumps(out), flush=True)
+
+    # PALLAS training tier (round 4): the same resmin training step with
+    # the fused kernel as the residual — its custom VJP composes the
+    # kernel for the backward stiffness action too, so forward+grad is
+    # two kernel passes instead of the XLA element-stencil chains. At
+    # 512^2 (where the kernel's HBM win shows) with scan-10 dispatch.
+    from diffnet_tpu.ops import poisson_residual_fused
+
+    np_ = 512
+    hp = 1.0 / (np_ - 1)
+    basis_p = make_basis(2, 1, h=(hp, hp))
+    nu_p = jnp.ones((bs, np_, np_), jnp.float32)
+    f_gp_p = jnp.asarray(rng.random((bs, np_ - 1, np_ - 1, 4)), jnp.float32)
+    bc_p = jnp.zeros((np_, np_)).at[0, :].set(1.0).at[-1, :].set(1.0)
+    bc_p = bc_p.at[:, 0].set(1.0).at[:, -1].set(1.0)
+    Nf_p = jax.jit(lambda f: fem.galerkin_project(
+        f, basis_p, "N", (np_, np_)))(f_gp_p)
+
+    def loss_pallas(u):
+        R = poisson_residual_fused(u, nu_p, Nf_p, bc_p, basis_p,
+                                   variant="blockspec")
+        return jnp.sum(R * R)
+
+    opt_p = optax.adam(1e-3)
+    up = jnp.asarray(rng.random((bs, np_, np_)), jnp.float32)
+    sp = opt_p.init(up)
+
+    @jax.jit
+    def stepK_pallas(u, s):
+        def body(c, _):
+            uu, ss = c
+            l, g = jax.value_and_grad(loss_pallas)(uu)
+            updates, ss = opt_p.update(g, ss, uu)
+            return (optax.apply_updates(uu, updates), ss), l
+
+        (uu, ss), ls = jax.lax.scan(body, (u, s), None, length=K)
+        return uu, ss, ls[-1]
+
+    up, sp, l = stepK_pallas(up, sp)
+    _ = float(l)
+    t0 = time.perf_counter()
+    reps_p = 3
+    for _ in range(reps_p):
+        up, sp, l = stepK_pallas(up, sp)
+    _ = float(l)
+    out["train_steps_per_sec_field512_pallas_scan10"] = float(
+        f"{reps_p * K / (time.perf_counter() - t0):.4g}")
+    print(json.dumps(out), flush=True)
+
+    # XLA A/B at the same 512^2 shape (element-tensor stencil path)
+    A512 = fem.element_tensor(basis_p, ("dx", "dy"))
+
+    def loss_xla512(u):
+        R = fem.element_action(u, nu_p, A512, basis_p, (np_, np_),
+                               gp_terms=[(-f_gp_p, "N")])
+        R = jnp.where(bc_p > 0.5, 0.0, R)
+        return jnp.sum(R * R)
+
+    ux = jnp.asarray(rng.random((bs, np_, np_)), jnp.float32)
+    sx = opt_p.init(ux)
+
+    @jax.jit
+    def stepK_xla512(u, s):
+        def body(c, _):
+            uu, ss = c
+            l, g = jax.value_and_grad(loss_xla512)(uu)
+            updates, ss = opt_p.update(g, ss, uu)
+            return (optax.apply_updates(uu, updates), ss), l
+
+        (uu, ss), ls = jax.lax.scan(body, (u, s), None, length=K)
+        return uu, ss, ls[-1]
+
+    ux, sx, l = stepK_xla512(ux, sx)
+    _ = float(l)
+    t0 = time.perf_counter()
+    for _ in range(reps_p):
+        ux, sx, l = stepK_xla512(ux, sx)
+    _ = float(l)
+    out["train_steps_per_sec_field512_xla_scan10"] = float(
+        f"{reps_p * K / (time.perf_counter() - t0):.4g}")
     return out
 
 
