@@ -47,6 +47,9 @@ __all__ = ["poisson_stiffness_action", "poisson_residual_fused"]
 
 
 def _build_tables(basis: FEMBasis):
+    """Full per-GP tables (NT, DXT, DYT, jxw) — consumed by the NS VMS and
+    energy kernels (ops/ns_residual.py, ops/poisson_energy.py); the 2D
+    stiffness kernels use the sum-factorized `_build_tables_sep`."""
     assert basis.deg == 1 and basis.nsd == 2 and basis.ngp_1d == 2, (
         "fused kernel supports deg-1 2D with 2x2 Gauss only")
     NT = [[float(v) for v in basis.tables["N"][g]] for g in range(4)]
@@ -54,6 +57,25 @@ def _build_tables(basis: FEMBasis):
     DYT = [[float(v) for v in basis.tables["dy"][g]] for g in range(4)]
     jxw = [float(v) for v in basis.jxw]
     return NT, DXT, DYT, jxw
+
+
+def _build_tables_sep(basis: FEMBasis):
+    """Separable (sum-factorized) deg-1 tables: 1D shape values at the two
+    Gauss points plus the folded quadrature/metric scales. The kernel body
+    exploits that deg-1 dN/dxi is CONSTANT (+-1) in its own axis, so the
+    Gauss sum factorizes exactly (see _strip_lr)."""
+    assert basis.deg == 1 and basis.nsd == 2 and basis.ngp_1d == 2, (
+        "fused kernel supports deg-1 2D with 2x2 Gauss only")
+    import numpy as np
+
+    xi = np.asarray(basis.gp_1d, np.float64)
+    cN = np.stack([(1.0 - xi) / 2.0, (1.0 + xi) / 2.0], -1)  # [gp, node]
+    hx, hy = (float(v) for v in basis.h)
+    jxw = np.asarray(basis.jxw, np.float64)
+    W = float(jxw[0])
+    assert np.allclose(jxw, W), "2x2 Gauss has equal weights"
+    cN_l = [[float(cN[g, j]) for j in range(2)] for g in range(2)]
+    return cN_l, W / hx**2, W / hy**2
 
 
 def _strip_lr(u, nu, row0, tables, TY, nel_rows, nel_cols):
@@ -65,42 +87,64 @@ def _strip_lr(u, nu, row0, tables, TY, nel_rows, nel_cols):
     fields are supported: nel_rows bounds the element-ROW mask, nel_cols
     the column slicing. Returns (left, right): left is the ib=0 column
     contribution for node cols [0, nel_cols), right the ib=1 contribution
-    for node cols [1, ncols)."""
-    NT, DXT, DYT, jxw = tables
+    for node cols [1, ncols).
 
-    # element corner fields: TY+1 element rows x nel_cols element cols
-    def corners(a):
-        return (a[:-1, :-1], a[:-1, 1:], a[1:, :-1], a[1:, 1:])
+    SUM-FACTORIZED body (round 4; the kernel measured VPU-compute-bound —
+    bf16 did not speed it up): for deg-1, dN/dxi is CONSTANT (+-1) along
+    its own axis, so ux depends only on the eta Gauss point and the gx
+    Gauss sum collapses EXACTLY:  sum_gx nug(gx, gy) = Ny0(gy)(n00+n01) +
+    Ny1(gy)(n10+n11)  (1D shape values sum to 1 over the Gauss pair).
+    The 4-GP x 4-corner contraction (~88 vector ops/element) becomes two
+    1D-factorized passes (~56), algebraically identical to the full
+    quadrature loop."""
+    cN, wx2, wy2 = tables   # 1D N at the 2 GPs; W/hx^2; W/hy^2
 
-    uc = corners(u[:, :nel_cols + 1])
-    nc = corners(nu[:, :nel_cols + 1])
+    a = u[:, :nel_cols + 1]
+    na = nu[:, :nel_cols + 1]
+    c00, c01 = a[:-1, :-1], a[:-1, 1:]
+    c10, c11 = a[1:, :-1], a[1:, 1:]
+    n00, n01 = na[:-1, :-1], na[:-1, 1:]
+    n10, n11 = na[1:, :-1], na[1:, 1:]
 
-    # mask element ROWS whose global index is outside [0, nel_rows); the
-    # column axis is already exactly nel_cols wide (corners() slices to
-    # nel_cols + 1 nodes), so no column mask is needed
+    # mask element ROWS whose global index is outside [0, nel_rows)
     e_row = (jax.lax.broadcasted_iota(jnp.int32, (TY + 1, nel_cols), 0)
              + row0 - 1)
     valid = jnp.logical_and(e_row >= 0, e_row < nel_rows).astype(u.dtype)
 
-    acc = [None, None, None, None]
-    for g in range(4):
-        ux = sum(DXT[g][k] * uc[k] for k in range(4))
-        uy = sum(DYT[g][k] * uc[k] for k in range(4))
-        nug = sum(NT[g][k] * nc[k] for k in range(4))
-        gx = (jxw[g] * nug) * ux
-        gy = (jxw[g] * nug) * uy
-        for ibf in range(4):
-            contrib = DXT[g][ibf] * gx + DYT[g][ibf] * gy
-            acc[ibf] = contrib if acc[ibf] is None else acc[ibf] + contrib
+    dxl = c01 - c00          # x-difference on the y-lo row
+    dxh = c11 - c10
+    dyl = c10 - c00          # y-difference on the x-lo column
+    dyh = c11 - c01
+    sxr0 = n00 + n01         # nu row sums (over x)
+    sxr1 = n10 + n11
+    syc0 = n00 + n10         # nu column sums (over y)
+    syc1 = n01 + n11
+
+    # x-part: per eta Gauss point, ux and the gx-collapsed nu
+    tx = []
+    for g in range(2):
+        ux = cN[g][0] * dxl + cN[g][1] * dxh
+        arow = cN[g][0] * sxr0 + cN[g][1] * sxr1
+        tx.append(ux * arow)
+    px0 = wx2 * (cN[0][0] * tx[0] + cN[1][0] * tx[1])   # test Ny0
+    px1 = wx2 * (cN[0][1] * tx[0] + cN[1][1] * tx[1])   # test Ny1
+    # y-part: per xi Gauss point
+    ty = []
+    for g in range(2):
+        uy = cN[g][0] * dyl + cN[g][1] * dyh
+        acol = cN[g][0] * syc0 + cN[g][1] * syc1
+        ty.append(uy * acol)
+    py0 = wy2 * (cN[0][0] * ty[0] + cN[1][0] * ty[1])   # test Nx0
+    py1 = wy2 * (cN[0][1] * ty[0] + cN[1][1] * ty[1])   # test Nx1
+
+    # acc[(jb, ib)] = sign_x(ib) * px_jb + sign_y(jb) * py_ib
+    a0 = valid * (-px0 - py0)            # (jb=0, ib=0)
+    a1 = valid * (px0 - py1)             # (jb=0, ib=1)
+    a2 = valid * (py0 - px1)             # (jb=1, ib=0)
+    a3 = valid * (px1 + py1)             # (jb=1, ib=1)
 
     # Q1 node assembly for output node rows [row0, row0 + TY):
-    # node (j, i) <- elem(j-1+a?, ...): local node row j corresponds to
-    # element local rows j (bf row 0) and j+1... mapping:
     #   R[j, i] += acc[2*jb+ib][j+1-jb, i-ib]  for jb, ib in {0,1}
-    a0 = acc[0] * valid
-    a1 = acc[1] * valid
-    a2 = acc[2] * valid
-    a3 = acc[3] * valid
     # jb=0 -> element local row j+1; jb=1 -> element local row j
     left = a0[1:, :] + a2[:TY, :]    # ib=0 -> cols [0, nel_cols)
     right = a1[1:, :] + a3[:TY, :]   # ib=1 -> cols [1, ncols)
@@ -180,7 +224,7 @@ def _stiffness_fwd_bs(u, nu, basis: FEMBasis, tile_y: int = 128):
     cfg = ((0, 0), (1, rows_pad - nrows - 1), (0, CP - ncols))
     u_p = jnp.pad(u, cfg)
     nu_p = jnp.pad(nu, cfg)
-    tables = _build_tables(basis)
+    tables = _build_tables_sep(basis)
 
     out = pl.pallas_call(
         partial(_kernel_bs, tables=tables, TY=TY, ntiles=ntiles,
@@ -220,7 +264,7 @@ def _stiffness_fwd_impl(u, nu, basis: FEMBasis, tile_y: int = 128,
     cfg = ((0, 0), (1, pad_rows - nrows - 1), (0, CP - ncols))
     u_p = jnp.pad(u, cfg)
     nu_p = jnp.pad(nu, cfg)
-    tables = _build_tables(basis)
+    tables = _build_tables_sep(basis)
 
     out = pl.pallas_call(
         partial(_kernel, tables=tables, TY=TY, ncols=ncols,
