@@ -322,6 +322,33 @@ def main():
                                  probe_timeout=90))
     print(json.dumps(result), flush=True)
 
+    # END-OF-CHAIN SALVAGE (round 4): a mid-chain wedge skips every later
+    # phase in ~45-90 s each (measured 2026-08-18: a stencil-phase wedge
+    # cost solve/ns/p3d/bf16/largegrid/steps their numbers), and today's
+    # wedges cleared in 20-40 min. If the relay is healthy again once the
+    # chain is done and the outer guard has room, re-run each skipped or
+    # timed-out TPU phase once, in the original order; stop at the first
+    # sign of a re-wedge.
+    guard = int(os.environ.get("DIFFNET_BENCH_TIMEOUT", "3600"))
+    for flag, tmo in (("--serve-only", 240), ("--stencil-only", 300),
+                      ("--solve-only", 420), ("--ns-only", 420),
+                      ("--p3d-only", 300), ("--bf16-only", 240),
+                      ("--largegrid-only", 300),
+                      ("--steps-field-only", 240), ("--steps-only", 420),
+                      ("--pallas-probe-only", 560)):
+        key = flag.strip("-").replace("-", "_") + "_error"
+        if key not in result:
+            continue
+        if time.monotonic() - _PROC_T0 > guard - tmo - 120:
+            break
+        if not _probe_relay(45):
+            break
+        got = _run_phase(flag, tmo)
+        if set(got) != {key}:
+            result.pop(key, None)   # the retry banked something real
+        result.update(got)
+        print(json.dumps(result), flush=True)
+
 
 def _probe_relay(timeout=45):
     """True iff the TPU relay answers a tiny matmul within `timeout` s
@@ -1018,6 +1045,30 @@ def _pallas_probe():
             _ = float(jnp.sum(r))
             t = (time.perf_counter() - t0) / (reps * K)
             _bank(f"pallas_fused_elem_per_sec_{n}sq_{variant}_scan",
+                  float(f"{bs * (n-1)**2 / t:.4g}"))
+            if n != 512:
+                continue
+            # bf16 scan tier: every kernel byte halves (the XLA path
+            # measured exactly x2 from bf16 — BENCH_MEASURED round 3)
+            ub = u.astype(jnp.bfloat16)
+            nub = nu.astype(jnp.bfloat16)
+            Nfb = Nf.astype(jnp.bfloat16)
+
+            def bodyb(carry, _, nub=nub, Nfb=Nfb, bc=bc, basis=basis):
+                R = poisson_residual_fused(carry, nub, Nfb, bc, basis,
+                                           variant=variant)
+                return R * jnp.bfloat16(1e-3) + carry, None
+
+            scanb = jax.jit(lambda r: jax.lax.scan(
+                bodyb, r, None, length=K)[0])
+            rb = scanb(ub)
+            _ = float(jnp.sum(rb.astype(jnp.float32)))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                rb = scanb(rb)
+            _ = float(jnp.sum(rb.astype(jnp.float32)))
+            t = (time.perf_counter() - t0) / (reps * K)
+            _bank(f"pallas_fused_elem_per_sec_{n}sq_{variant}_scan_bf16",
                   float(f"{bs * (n-1)**2 / t:.4g}"))
 
     _probe_2d("blockspec")
