@@ -352,20 +352,36 @@ def main():
 
 def _probe_relay(timeout=45):
     """True iff the TPU relay answers a tiny matmul within `timeout` s
-    (when wedged, ALL device ops in ALL processes hang — CLAUDE.md)."""
+    (when wedged, ALL device ops in ALL processes hang — CLAUDE.md).
+
+    The budget covers only the DEVICE work: the probe child measures its
+    own elapsed time after the jax import and reports it. On a loaded
+    single-core builder box a cold jax import alone can exceed 30 s, and
+    counting it produced false 'relay wedged' skips while the relay was
+    fine (round-4 observation: steps tiers skipped minutes after a
+    successful on-chip run). The OUTER kill (import stall + device hang)
+    is timeout + 90 s."""
     # honor the hermetic CPU pin here too: the snippet does not go through
     # this file's __main__, and sitecustomize force-registers the axon
     # backend, so without the config update the probe would still hit (and
     # hang on) a wedged relay even when every phase runs on CPU
     pin = ("import jax; jax.config.update('jax_platforms', 'cpu');"
            if os.environ.get("DIFFNET_BENCH_CPU") else "")
-    code = (pin + "import jax, jax.numpy as jnp;"
+    code = (pin + "import jax, jax.numpy as jnp, time;"
+            "t0 = time.monotonic();"
             "x = jnp.ones((128, 128));"
-            "print(float(jnp.sum(x @ x)))")
+            "s = float(jnp.sum(x @ x));"
+            "print('PROBE_S', time.monotonic() - t0)")
     try:
         out = subprocess.run([sys.executable, "-c", code],
-                             capture_output=True, text=True, timeout=timeout)
-        return out.returncode == 0
+                             capture_output=True, text=True,
+                             timeout=timeout + 90)
+        if out.returncode != 0:
+            return False
+        for line in out.stdout.splitlines():
+            if line.startswith("PROBE_S"):
+                return float(line.split()[1]) <= timeout
+        return False
     except subprocess.TimeoutExpired:
         return False
 
