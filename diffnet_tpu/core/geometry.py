@@ -24,10 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["winding_number_2d", "winding_number_3d", "occupancy_from_cloud",
-           "occupancy_from_cloud_3d", "meshgrid_3d", "sample_ellipse_cloud",
-           "sample_polygon_cloud", "sample_sphere_cloud",
-           "cloud_from_voxels"]
+__all__ = ["winding_number_2d", "winding_number_3d", "winding_grid",
+           "occupancy_from_cloud", "occupancy_from_cloud_3d", "meshgrid_3d",
+           "sample_ellipse_cloud", "sample_polygon_cloud",
+           "sample_sphere_cloud", "cloud_from_voxels"]
 
 
 def winding_number_2d(points: jax.Array, normals: jax.Array, areas: jax.Array,
@@ -81,18 +81,29 @@ def winding_number_3d(points: jax.Array, normals: jax.Array, areas: jax.Array,
     return w[:, :Nq]
 
 
-def occupancy_from_cloud(points, normals, areas, grid_shape, lengths=(1.0, 1.0),
-                         threshold: float = 0.5, chunk: int = 4096):
-    """Characteristic function chi on the node grid from an oriented cloud
-    (the IBN source mask, IBN_2D.py:141-145). 2D only here; [B, ny, nx]."""
+def winding_grid(points, normals, areas, grid_shape, lengths=(1.0, 1.0),
+                 chunk: int = 4096):
+    """RAW (unthresholded) generalized winding number on the node grid —
+    differentiable in the cloud (the reference exercises exactly this,
+    examples/eiqonal/single_instance/02_differentiable_winding_number.py)
+    and the supervised mask-regression target of the disjoint-map trainer
+    (examples/eiqonal/parametric/08_disjoint_map.py:155-163).
+    [B, ny, nx]."""
     ny, nx = grid_shape
     x = jnp.linspace(0, lengths[0], nx)
     y = jnp.linspace(0, lengths[1], ny)
     xx, yy = jnp.meshgrid(x, y)
     q = jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
     w = winding_number_2d(points, normals, areas, q, chunk=chunk)
-    chi = (w > threshold).astype(points.dtype)
-    return chi.reshape(points.shape[0], ny, nx)
+    return w.reshape(points.shape[0], ny, nx)
+
+
+def occupancy_from_cloud(points, normals, areas, grid_shape, lengths=(1.0, 1.0),
+                         threshold: float = 0.5, chunk: int = 4096):
+    """Characteristic function chi on the node grid from an oriented cloud
+    (the IBN source mask, IBN_2D.py:141-145). 2D only here; [B, ny, nx]."""
+    w = winding_grid(points, normals, areas, grid_shape, lengths, chunk)
+    return (w > threshold).astype(points.dtype)
 
 
 def meshgrid_3d(x_1d, y_1d, z_1d):

@@ -44,9 +44,11 @@ class IBNPoisson2D(FEM2DModule):
         # ensemble pins the zero level set instead — u = 0 inside
         # (02_sum.py:160 ``u = where(winding > 0.1, u*0, u)``)
         self.bc1_value = float(kwargs.get("bc1_value", 1.0))
-        # 'energy' (IBN_2D.py:116-134) or 'resmin' — the winding-number
+        # 'energy' (IBN_2D.py:116-134), 'resmin' — the winding-number
         # Galerkin-residual variant (09_airfoil.py loss_poisson_windingnumber,
-        # examples/eiqonal/parametric/09_airfoil.py:238-291)
+        # examples/eiqonal/parametric/09_airfoil.py:238-291) — or 'mask':
+        # supervised regression of the raw winding field
+        # (08_disjoint_map.py:155-186; winding batches only)
         self.ibn_loss_type = ibn_loss_type
         # 'chi' (default: net consumes the occupancy grid), 'cloud'
         # (net consumes the raw point cloud, e.g. DGCNN2D / ImmDiff), or
@@ -99,6 +101,9 @@ class IBNPoisson2D(FEM2DModule):
     def training_loss(self, params, batch):
         """Adds the beta-weighted KL regularizer when the network is a VAE
         head (returns (out, mu, logvar) — ImmDiffVAE, 03_sum_vae.py);
+        ibn_loss_type='mask' trains the net to REGRESS the raw winding
+        field instead of solving the PDE (the disjoint-map trainer,
+        examples/eiqonal/parametric/08_disjoint_map.py:155-186);
         otherwise identical to the base loss-of-forward."""
 
         def _fwd_loss(params, batch):
@@ -109,11 +114,19 @@ class IBNPoisson2D(FEM2DModule):
             pts = cloud[..., 0:2]
             nrm = cloud[..., 2:4]
             area = cloud[..., 4]
+            grid_args = (pts, nrm, area,
+                         (self.domain_sizeY, self.domain_sizeX),
+                         (self.domain_lengthX, self.domain_lengthY))
+            if self.ibn_loss_type == "mask":
+                from ..core.geometry import winding_grid
+                w = winding_grid(*grid_args)
+                u = self._apply_net(params, cloud, w[..., None])
+                if isinstance(u, tuple):
+                    u = u[0]
+                u = u[..., 0] if u.ndim == w.ndim + 1 else u
+                return jnp.mean((u - w) ** 2)
             chi = occupancy_from_cloud(
-                pts, nrm, area,
-                (self.domain_sizeY, self.domain_sizeX),
-                (self.domain_lengthX, self.domain_lengthY),
-                threshold=self.winding_threshold)
+                *grid_args, threshold=self.winding_threshold)
             source = chi[..., None]
             u = self._apply_net(params, cloud, source)
             kl = 0.0

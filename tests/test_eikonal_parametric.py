@@ -93,3 +93,44 @@ def test_vae_and_normals_variants_train():
         assert np.isfinite(l1) and l1 < l0, (type(net).__name__, l0, l1)
         u, inputs, _ = m.forward(st.params, batch)
         assert u.shape[1:3] == (n, n)
+
+
+def test_winding_grid_differentiable_in_cloud():
+    """The raw winding field is differentiable w.r.t. the cloud points —
+    the reference exercises a differentiable winding number explicitly
+    (examples/eiqonal/single_instance/02_differentiable_winding_number.py)."""
+    from diffnet_tpu.core.geometry import sample_ellipse_cloud, winding_grid
+
+    pts, nrm, area = sample_ellipse_cloud(48)
+
+    def f(p):
+        w = winding_grid(p[None], jnp.asarray(nrm)[None],
+                         jnp.asarray(area)[None], (12, 12))
+        return jnp.sum(w**2)
+
+    g = jax.grad(f)(jnp.asarray(pts))
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 1e-6
+
+
+def test_mask_regression_loss_trains():
+    """ibn_loss_type='mask': supervised regression of the raw winding
+    field (the disjoint-map trainer, 08_disjoint_map.py:155-186)."""
+    from diffnet_tpu.data.geometry_datasets import ParametricNURBS
+    from diffnet_tpu.data.loader import NumpyLoader
+    from diffnet_tpu.models.pointnets import ImmDiff
+    from diffnet_tpu.train import Trainer
+
+    n = 16
+    ds = ParametricNURBS(n_samples=2, n_points=48, domain_size=n)
+    net = ImmDiff(out_size=n, hidden=64, n_hidden=2)
+    m = _module(net, ds, n, loss="mask", bs=2)
+    batch = tuple(jnp.asarray(np.asarray(a))[None].repeat(2, 0)
+                  for a in ds[0])
+    p0 = m.init_params(jax.random.PRNGKey(0), batch)
+    l0 = float(m.training_loss(p0, batch))
+    st = Trainer(max_epochs=60, optimizer="adam",
+                 learning_rate=1e-3).fit(m, NumpyLoader(ds, batch_size=2))
+    l1 = float(m.training_loss(st.params, batch))
+    assert np.isfinite(l1) and l1 < 0.5 * l0, (l0, l1)

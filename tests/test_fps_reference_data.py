@@ -107,3 +107,43 @@ def test_stokes_fps_matches_reference_solver():
     sl = (x >= 5.0) & (x <= 10.0)
     slope = np.polyfit(x[sl], p[jmid, sl], 1)[0]
     assert abs(slope - (-0.32)) < 0.04, slope
+
+
+def test_flow_past_cloud_derived_obstacle():
+    """No-slip mask from an oriented POINT CLOUD via the winding number,
+    then a direct Stokes channel solve — the composition behind the
+    reference's airfoil-cloud FPS variants (e2_ns_fps_af_pc.py: winding
+    bc mask from a cloud; e2_ns_fps_af_bcmask.py: the image-mask route
+    covered by FlowPastObjectDataset)."""
+    import jax.numpy as jnp
+
+    from diffnet_tpu.core.geometry import occupancy_from_cloud
+    from diffnet_tpu.data.flow import FlowPastObjectDataset
+    from diffnet_tpu.pde.flow import StokesNSBase
+    from diffnet_tpu.train.linear import stokes_linear_solve
+
+    Lx, Ly = 4.0, 1.0
+    nx, ny = 33, 9
+    # ellipse-ish cloud centered in the front half of the channel
+    t = np.linspace(0, 2 * np.pi, 48, endpoint=False)
+    rx, ry = 0.35, 0.18
+    pts = np.stack([1.0 + rx * np.cos(t), 0.5 + ry * np.sin(t)], -1)
+    nrm = np.stack([ry * np.cos(t), rx * np.sin(t)], -1)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    area = np.full(48, 2 * np.pi * np.hypot(rx, ry) / 48)
+    chi = occupancy_from_cloud(
+        jnp.asarray(pts)[None], jnp.asarray(nrm)[None],
+        jnp.asarray(area)[None], (ny, nx), lengths=(Lx, Ly))
+    chi = np.asarray(chi)[0]
+    assert 0.02 < chi.mean() < 0.4   # the winding mask found the object
+
+    ds = FlowPastObjectDataset(chi, domain_lengths=(Lx, Ly), Re=1)
+    m = StokesNSBase(None, ds, domain_lengths=(Lx, Ly),
+                     domain_sizes=(nx, ny), batch_size=1, Re=1,
+                     u_bc=ds.u_bc, pressure_gauge="dirichlet")
+    (u, v, p), info = stokes_linear_solve(m, tol=1e-6, maxiter=120,
+                                          restart=20)
+    assert np.isfinite(u).all() and np.isfinite(p).all()
+    # no-slip inside the object, flow in the open channel
+    assert np.abs(u[chi > 0.5]).max() < 1e-6
+    assert u.max() > 0.3
