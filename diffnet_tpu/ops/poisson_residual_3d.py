@@ -76,13 +76,11 @@ def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TZ, n, nel):
     cp_u.wait()
     cp_nu.wait()
 
-    # per-element-layer body (shared with the blockspec variant): the
-    # previous slab-at-once dataflow (_slab_contribs) held ~8 slab
-    # accumulators + GP temporaries live and compile-OOM'd the 16 MB
-    # scoped-VMEM budget at 128^3 (35.6 MB)
-    _layer_assemble(lambda i: u_s[i, :n, :n],
-                    lambda i: nu_s[i, :n, :n],
-                    out_ref, row0, tables, TZ, n, nel)
+    # slab-vectorized factorized body (shared with the blockspec variant);
+    # the TZ byte-guard in the fwd wrappers keeps the ~28 live slab
+    # temporaries inside the 16 MB scoped-VMEM budget
+    _slab_assemble(u_s[0:TZ + 2, :n, :n], nu_s[0:TZ + 2, :n, :n],
+                   out_ref, row0, tables, TZ, n, nel)
 
 
 def _kernel3d_bs(u_ref, nu_ref, out_ref, *, tables, TZ, n, nel):
@@ -91,97 +89,93 @@ def _kernel3d_bs(u_ref, nu_ref, out_ref, *, tables, TZ, n, nel):
     map along the z-tile grid axis, so it is fetched once per batch), the
     OUTPUT tiled over z — no manual DMA / semaphores / scratch.
 
-    The body walks the TZ+1 ELEMENT LAYERS of its tile one at a time:
-    per-layer temporaries are 2D planes (~tens of KB), not 3D slabs.
-    Both structure choices were load-bearing on chip (round 4): the
-    whole-volume out block + slab-sized temporaries overflowed the 16 MB
-    scoped-VMEM budget at 64^3 bs4 (16.3-17.4 MB compile OOM)."""
+    The body processes the tile's TZ+1 element layers as z-VECTORIZED
+    slab operations (~60 fused elementwise passes over (TZ+1, nel, nel)
+    slabs) — the round-4 restructure away from a serial per-layer Python
+    loop whose small 2D-plane ops under-filled the VPU. The TZ byte-guard
+    in the fwd wrappers keeps the ~28 live slab temporaries inside the
+    16 MB scoped-VMEM budget (the ORIGINAL naive slab dataflow OOM'd
+    because the unfactorized 8-GP x 8-corner contraction held ~60 live
+    slabs)."""
     t = pl.program_id(1)
     row0 = t * TZ
-    _layer_assemble(lambda i: u_ref[0, row0 + i, :n, :n],
-                    lambda i: nu_ref[0, row0 + i, :n, :n],
-                    out_ref, row0, tables, TZ, n, nel)
+    # pl.ds: the tile offset is a traced program id — python slices with
+    # traced bounds are rejected by the ref indexer
+    _slab_assemble(u_ref[0, pl.ds(row0, TZ + 2), :n, :n],
+                   nu_ref[0, pl.ds(row0, TZ + 2), :n, :n],
+                   out_ref, row0, tables, TZ, n, nel)
 
 
-def _layer_assemble(uplane, nuplane, out_ref, row0, tables, TZ, n, nel):
-    """Shared per-element-layer assembly body: walks the TZ+1 element
-    layers of one z-tile, reading padded node planes via ``uplane(i)`` /
-    ``nuplane(i)`` (i = local padded-plane index in [0, TZ+2)) and
-    accumulating into ``out_ref[0, :TZ]``. Per-layer temporaries are 2D
-    planes (~tens-hundreds of KB) — the slab-sized dataflow overflowed
-    the 16 MB scoped-VMEM budget (compile OOM at 64^3 bs4 for blockspec,
-    at 128^3 for the DMA variant: 35.6 MB)."""
+def _slab_assemble(uslab, nuslab, out_ref, row0, tables, TZ, n, nel):
+    """Slab-vectorized sum-factorized assembly for one z-tile.
+
+    ``uslab``/``nuslab`` are (TZ+2, n, n) node slabs covering padded
+    planes [row0, row0+TZ+2); writes the TZ output node planes into
+    ``out_ref[0]``. Same factorized algebra as the 2D `_strip_lr` — for
+    deg-1, dN/dxi is constant (+-1) along its own axis, so each
+    derivative depends on only TWO Gauss coordinates and the third Gauss
+    sum collapses exactly onto axis-summed nu corners. All operations
+    are (TZ+1, nel, nel) slab elementwise passes (z-vectorized; the
+    earlier serial per-layer loop under-filled the VPU with (nel, nel)
+    planes). Out-of-domain element layers at the domain edges are masked
+    with an iota validity slab."""
     cN, wx2, wy2, wz2 = tables
-    out_ref[0] = jnp.zeros((TZ, n, n), uplane(0).dtype)
-    for lay in range(TZ + 1):
-        # element layer between padded node planes lay, lay+1 == real
-        # planes row0+lay-1, row0+lay; valid iff the global element-layer
-        # index row0+lay-1 is in [0, nel)
-        u0 = uplane(lay)
-        u1 = uplane(lay + 1)
-        n0 = nuplane(lay)
-        n1 = nuplane(lay + 1)
 
-        # corner views c[k][j][i] (k = z plane, j = y, i = x)
-        def cview(p):
-            return [[p[jb:jb + nel, ib:ib + nel] for ib in (0, 1)]
-                    for jb in (0, 1)]
+    def cv(s, k, j, i):
+        return s[k:k + TZ + 1, j:j + nel, i:i + nel]
 
-        uc = [cview(u0), cview(u1)]
-        nc = [cview(n0), cview(n1)]
-        glob = row0 + lay - 1
-        valid = jnp.logical_and(glob >= 0, glob < nel).astype(u0.dtype)
+    uc = [[[cv(uslab, k, j, i) for i in (0, 1)] for j in (0, 1)]
+          for k in (0, 1)]
+    nc = [[[cv(nuslab, k, j, i) for i in (0, 1)] for j in (0, 1)]
+          for k in (0, 1)]
 
-        # SUM-FACTORIZED 3D body (see the 2D _strip_lr): deg-1 dN/dxi is
-        # constant (+-1) along its own axis, so ux depends on (eta, zeta)
-        # only and the gx Gauss sum collapses exactly onto x-summed nu
-        # corners — ~200 vector ops/layer vs ~470 for the naive 8-GP x
-        # 8-corner contraction (the kernel measured VPU-compute-bound).
-        DX = [[uc[k][j][1] - uc[k][j][0] for j in (0, 1)] for k in (0, 1)]
-        DY = [[uc[k][1][i] - uc[k][0][i] for i in (0, 1)] for k in (0, 1)]
-        DZ = [[uc[1][j][i] - uc[0][j][i] for i in (0, 1)] for j in (0, 1)]
-        SX = [[nc[k][j][0] + nc[k][j][1] for j in (0, 1)] for k in (0, 1)]
-        SY = [[nc[k][0][i] + nc[k][1][i] for i in (0, 1)] for k in (0, 1)]
-        SZ = [[nc[0][j][i] + nc[1][j][i] for i in (0, 1)] for j in (0, 1)]
+    lay = jax.lax.broadcasted_iota(jnp.int32, (TZ + 1, nel, nel), 0)
+    glob = row0 + lay - 1
+    valid = jnp.logical_and(glob >= 0, glob < nel).astype(uslab.dtype)
 
-        def part(D, S, scale):
-            # D/S indexed [a][b]; per Gauss pair (ga, gb) build the
-            # collapsed du and nu-sum interpolants, then project onto the
-            # two test-function values per axis. p[ab][bb].
-            t = {}
-            for ga in (0, 1):
-                for gb in (0, 1):
-                    cc = [[cN[ga][a_] * cN[gb][b_] for b_ in (0, 1)]
-                          for a_ in (0, 1)]
-                    du = (cc[0][0] * D[0][0] + cc[0][1] * D[0][1]
-                          + cc[1][0] * D[1][0] + cc[1][1] * D[1][1])
-                    A = (cc[0][0] * S[0][0] + cc[0][1] * S[0][1]
-                         + cc[1][0] * S[1][0] + cc[1][1] * S[1][1])
-                    t[ga, gb] = du * A
-            return [[scale * sum(cN[ga][ab] * cN[gb][bb] * t[ga, gb]
-                                 for ga in (0, 1) for gb in (0, 1))
-                     for bb in (0, 1)] for ab in (0, 1)]
+    def part(D, S, scale):
+        # per Gauss pair (ga, gb): collapsed derivative and nu-sum
+        # interpolants, then projection onto the two test values per axis
+        t = {}
+        for ga in (0, 1):
+            for gb in (0, 1):
+                cc = [[cN[ga][a_] * cN[gb][b_] for b_ in (0, 1)]
+                      for a_ in (0, 1)]
+                du = (cc[0][0] * D[0][0] + cc[0][1] * D[0][1]
+                      + cc[1][0] * D[1][0] + cc[1][1] * D[1][1])
+                A = (cc[0][0] * S[0][0] + cc[0][1] * S[0][1]
+                     + cc[1][0] * S[1][0] + cc[1][1] * S[1][1])
+                t[ga, gb] = du * A
+        return [[scale * sum(cN[ga][ab] * cN[gb][bb] * t[ga, gb]
+                             for ga in (0, 1) for gb in (0, 1))
+                 for bb in (0, 1)] for ab in (0, 1)]
 
-        px = part(DX, SX, wx2)   # px[kb][jb]
-        py = part(DY, SY, wy2)   # py[kb][ib]
-        pz = part(DZ, SZ, wz2)   # pz[jb][ib]
+    # one axis at a time so each axis' D/S/t slab temporaries are dead
+    # before the next axis builds (peak live set ~20 slabs, not ~30)
+    DX = [[uc[k][j][1] - uc[k][j][0] for j in (0, 1)] for k in (0, 1)]
+    SX = [[nc[k][j][0] + nc[k][j][1] for j in (0, 1)] for k in (0, 1)]
+    px = part(DX, SX, wx2)   # px[kb][jb]
+    DY = [[uc[k][1][i] - uc[k][0][i] for i in (0, 1)] for k in (0, 1)]
+    SY = [[nc[k][0][i] + nc[k][1][i] for i in (0, 1)] for k in (0, 1)]
+    py = part(DY, SY, wy2)   # py[kb][ib]
+    DZ = [[uc[1][j][i] - uc[0][j][i] for i in (0, 1)] for j in (0, 1)]
+    SZ = [[nc[0][j][i] + nc[1][j][i] for i in (0, 1)] for j in (0, 1)]
+    pz = part(DZ, SZ, wz2)   # pz[jb][ib]
 
-        sgn = (-1.0, 1.0)
-        acc = [sgn[ib] * px[kb][jb] + sgn[jb] * py[kb][ib]
-               + sgn[kb] * pz[jb][ib]
-               for kb in (0, 1) for jb in (0, 1) for ib in (0, 1)]
-        for jbf in (0, 1):
-            for ibf in (0, 1):
-                ysl = slice(jbf, jbf + nel)
-                xsl = slice(ibf, ibf + nel)
-                if lay >= 1:      # kbf=0 -> node plane lay-1
-                    out_ref[0, lay - 1, ysl, xsl] = (
-                        out_ref[0, lay - 1, ysl, xsl]
-                        + valid * acc[2 * jbf + ibf])
-                if lay < TZ:      # kbf=1 -> node plane lay
-                    out_ref[0, lay, ysl, xsl] = (
-                        out_ref[0, lay, ysl, xsl]
-                        + valid * acc[4 + 2 * jbf + ibf])
+    # Q1 assembly, z-vectorized: output node plane z (tile-local)
+    # receives element layer z+1 via kbf=0 and layer z via kbf=1
+    sgn = (-1.0, 1.0)
+    out_ref[0] = jnp.zeros((TZ, n, n), uslab.dtype)
+    for jb in (0, 1):
+        for ib in (0, 1):
+            a_lo = valid * (sgn[ib] * px[0][jb] + sgn[jb] * py[0][ib]
+                            + sgn[0] * pz[jb][ib])   # kbf = 0
+            a_hi = valid * (sgn[ib] * px[1][jb] + sgn[jb] * py[1][ib]
+                            + sgn[1] * pz[jb][ib])   # kbf = 1
+            az = a_lo[1:] + a_hi[:TZ]                # [TZ, nel, nel]
+            ysl = slice(jb, jb + nel)
+            xsl = slice(ib, ib + nel)
+            out_ref[0, :, ysl, xsl] = out_ref[0, :, ysl, xsl] + az
 
 
 def _stiffness3d_fwd_bs(u, nu, basis: FEMBasis, tile_z: int = 8):
@@ -234,10 +228,14 @@ def _stiffness3d_fwd_impl(u, nu, basis: FEMBasis, tile_z: int = 8,
     B, n, _, _ = u.shape
     nel = n - 1
     TZ = min(tile_z, -(-n // 8) * 8)
-    ntiles = -(-n // TZ)
-    assert TZ % 8 == 0 or TZ == n, "tile_z must be a multiple of 8"
-    pad_z = ntiles * TZ + 8
     CP = -(-n // 128) * 128
+    # slab-vectorized body: ~20 live (TZ+1, n, CP) f32 temporaries; shrink
+    # the z-tile until they fit the scoped-VMEM budget (z is a pure major
+    # dim — no sublane alignment constraint, unlike the 2D TY)
+    while TZ > 1 and 20 * (TZ + 1) * n * CP * 4 > 11 * 2**20:
+        TZ //= 2
+    ntiles = -(-n // TZ)
+    pad_z = ntiles * TZ + 8
     cfg = ((0, 0), (1, pad_z - n - 1), (0, 0), (0, CP - n))
     u_p = jnp.pad(u, cfg)
     nu_p = jnp.pad(nu, cfg)
