@@ -30,8 +30,9 @@ backward here, and this keeps gradients bit-comparable with the
 production path (advective field detached inside tau, both paths).
 
 STATUS: interpret-mode validated against the XLA path (values and VJP —
-tests/test_pallas_kernel.py). On-device launch gated pending a standard
-(non-axon-relay) TPU runtime, same as the other kernels in this family.
+tests/test_pallas_kernel.py). On-chip (round 3-4): the blockspec variant
+runs at 256^2 (~2x the XLA path pre-factorization; bench.py pallas-probe
+NS tiers). Round 4: the body is sum-factorized (see `_strip_accs`).
 """
 
 from __future__ import annotations
@@ -45,9 +46,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core import fem
 from ..core.quadrature import FEMBasis
-from .poisson_residual import _build_tables
 
 __all__ = ["ns_vms_residual_fused", "ns_vms_residual_xla"]
+
+
+def _build_tables_ns(basis: FEMBasis):
+    """Separable deg-1 tables for the sum-factorized NS body: 1D shape
+    values at the two Gauss points plus the (equal) 2D quadrature weight."""
+    assert basis.deg == 1 and basis.nsd == 2 and basis.ngp_1d == 2, (
+        "fused NS kernel supports deg-1 2D with 2x2 Gauss only")
+    import numpy as np
+
+    xi = np.asarray(basis.gp_1d, np.float64)
+    cN = np.stack([(1.0 - xi) / 2.0, (1.0 + xi) / 2.0], -1)  # [gp, node]
+    jxw = np.asarray(basis.jxw, np.float64)
+    W = float(jxw[0])
+    assert np.allclose(jxw, W), "2x2 Gauss has equal weights"
+    cN_l = [[float(cN[g, j]) for j in range(2)] for g in range(2)]
+    return cN_l, W
 
 
 def ns_vms_residual_xla(u, v, p, fx, fy, basis: FEMBasis, visco: float):
@@ -118,19 +134,24 @@ def _strip_accs(u_s, v_s, p_s, fx_s, fy_s, row0,
     Inputs are (>=TY+2, >=nel+1) node strips covering PADDED rows
     [row0, row0+TY+2) (1-top-pad-row convention, as the Poisson kernels).
     Returns (acc1, acc2, acc3, valid): three lists of 4 unmasked
-    accumulators [TY+1, nel] and the element-row validity mask."""
-    NT, DXT, DYT, jxw = tables
+    accumulators [TY+1, nel] and the element-row validity mask.
+
+    SUM-FACTORIZED body (round 4, same move as the 2D stiffness kernel's
+    `_strip_lr`): for deg-1, dN/dxi is CONSTANT (+-1) along its own axis,
+    so each spatial derivative takes only TWO distinct values across the
+    four Gauss points (ux depends on gy only, uy on gx only), the
+    N-evaluations reuse 1D x-interpolations, and the three Galerkin
+    projections factorize into 1D Gauss passes (the dx/dy test-function
+    sums collapse across their constant axis). taum uses `lax.rsqrt` +
+    multiplies instead of sqrt + two divides. ~800 -> ~510 vector ops per
+    element, algebraically identical to the full quadrature loop (parity
+    pinned at 2e-5 by tests/test_pallas_kernel.py)."""
+    cN, W = tables   # 1D shape values at the 2 GPs; 2D quadrature weight
 
     def corners(s):
         a = s[: TY + 2, : nel + 1]
+        # (jb, ib) node order: (y-lo,x-lo), (y-lo,x-hi), (y-hi,x-lo), (y-hi,x-hi)
         return (a[:-1, :-1], a[:-1, 1:], a[1:, :-1], a[1:, 1:])
-
-    uc = corners(u_s)
-    vc = corners(v_s)
-    pc = corners(p_s)
-    if has_f:
-        f1c = corners(fx_s)
-        f2c = corners(fy_s)
 
     e_row = (jax.lax.broadcasted_iota(jnp.int32, (TY + 1, nel), 0)
              + row0 - 1)
@@ -139,61 +160,95 @@ def _strip_accs(u_s, v_s, p_s, fx_s, fy_s, row0,
 
     Gxx, Gyy = 4.0 / hx**2, 4.0 / hy**2
     diff_part = 36.0 * visco**2 * (Gxx**2 + Gyy**2)
+    inv_hx, inv_hy = 1.0 / hx, 1.0 / hy
+    inv_sumG = 1.0 / (Gxx + Gyy)
 
-    acc1 = [None] * 4
-    acc2 = [None] * 4
-    acc3 = [None] * 4
-    for g in range(4):
-        def at_gp(c, tab=NT[g]):
-            return sum(tab[k] * c[k] for k in range(4))
+    def eval_field(c, derivs=True):
+        """(FN[gx][gy], Fx[gy], Fy[gx]) — factorized deg-1 GP evaluation."""
+        t = [[cN[gx][0] * c[2 * jb] + cN[gx][1] * c[2 * jb + 1]
+              for jb in (0, 1)] for gx in (0, 1)]
+        FN = [[cN[gy][0] * t[gx][0] + cN[gy][1] * t[gx][1]
+               for gy in (0, 1)] for gx in (0, 1)]
+        if not derivs:
+            return FN, None, None
+        dxl, dxh = (c[1] - c[0]) * inv_hx, (c[3] - c[2]) * inv_hx
+        Fx = [cN[gy][0] * dxl + cN[gy][1] * dxh for gy in (0, 1)]
+        dyl, dyh = (c[2] - c[0]) * inv_hy, (c[3] - c[1]) * inv_hy
+        Fy = [cN[gx][0] * dyl + cN[gx][1] * dyh for gx in (0, 1)]
+        return FN, Fx, Fy
 
-        uN = at_gp(uc)
-        ux = at_gp(uc, DXT[g])
-        uy = at_gp(uc, DYT[g])
-        vN = at_gp(vc)
-        vx = at_gp(vc, DXT[g])
-        vy = at_gp(vc, DYT[g])
-        pN = at_gp(pc)
-        px = at_gp(pc, DXT[g])
-        py = at_gp(pc, DYT[g])
-        if has_f:
-            f1 = at_gp(f1c)
-            f2 = at_gp(f2c)
+    uN, ux, uy = eval_field(corners(u_s))
+    vN, vx, vy = eval_field(corners(v_s))
+    pN, px, py = eval_field(corners(p_s))
+    if has_f:
+        f1N, _, _ = eval_field(corners(fx_s), derivs=False)
+        f2N, _, _ = eval_field(corners(fy_s), derivs=False)
 
-        div = ux + vy
-        adv1 = uN * ux + vN * uy
-        adv2 = uN * vx + vN * vy
-        res1 = adv1 + px - (f1 if has_f else 0.0)
-        res2 = adv2 + py - (f2 if has_f else 0.0)
-        temp = jnp.sqrt(Gxx * uN * uN + Gyy * vN * vN + diff_part)
-        taum = 1.0 / temp
-        tauc = temp / (Gxx + Gyy)
-        t2 = taum * taum
+    # per-GP integrands, indexed [gx][gy]
+    i1N = [[None] * 2 for _ in range(2)]
+    i1x = [[None] * 2 for _ in range(2)]
+    i1y = [[None] * 2 for _ in range(2)]
+    i2N = [[None] * 2 for _ in range(2)]
+    i2x = [[None] * 2 for _ in range(2)]
+    i2y = [[None] * 2 for _ in range(2)]
+    i3N = [[None] * 2 for _ in range(2)]
+    i3x = [[None] * 2 for _ in range(2)]
+    i3y = [[None] * 2 for _ in range(2)]
+    for gx in (0, 1):
+        for gy in (0, 1):
+            uNg, vNg, pNg = uN[gx][gy], vN[gx][gy], pN[gx][gy]
+            uxg, vxg, pxg = ux[gy], vx[gy], px[gy]
+            uyg, vyg, pyg = uy[gx], vy[gx], py[gx]
+            div = uxg + vyg
+            adv1 = uNg * uxg + vNg * uyg
+            adv2 = uNg * vxg + vNg * vyg
+            res1 = adv1 + pxg - (f1N[gx][gy] if has_f else 0.0)
+            res2 = adv2 + pyg - (f2N[gx][gy] if has_f else 0.0)
+            s2 = Gxx * uNg * uNg + Gyy * vNg * vNg + diff_part
+            taum = jax.lax.rsqrt(s2)
+            tauc = s2 * taum * inv_sumG
+            tm1 = taum * res1           # = taum*res1; taum^2*res1*res2 etc.
+            tm2 = taum * res2           #   become products of these
+            t12 = tm1 * tm2
+            tcd = tauc * div
 
-        i1N = adv1 - (f1 if has_f else 0.0) - taum * (res1 * ux + res2 * uy)
-        i1x = (visco * ux - pN + taum * uN * res1
-               - t2 * res1 * res1 + tauc * div)
-        i1y = visco * uy + taum * vN * res1 - t2 * res1 * res2
-        i2N = adv2 - (f2 if has_f else 0.0) - taum * (res1 * vx + res2 * vy)
-        i2x = visco * vx + taum * uN * res2 - t2 * res2 * res1
-        i2y = (visco * vy - pN + taum * vN * res2
-               - t2 * res2 * res2 + tauc * div)
-        i3N = div
-        i3x = taum * res1
-        i3y = taum * res2
+            i1N[gx][gy] = adv1 - (f1N[gx][gy] if has_f else 0.0) \
+                - tm1 * uxg - tm2 * uyg
+            i1x[gx][gy] = visco * uxg - pNg + uNg * tm1 - tm1 * tm1 + tcd
+            i1y[gx][gy] = visco * uyg + vNg * tm1 - t12
+            i2N[gx][gy] = adv2 - (f2N[gx][gy] if has_f else 0.0) \
+                - tm1 * vxg - tm2 * vyg
+            i2x[gx][gy] = visco * vxg + uNg * tm2 - t12
+            i2y[gx][gy] = visco * vyg - pNg + vNg * tm2 - tm2 * tm2 + tcd
+            i3N[gx][gy] = div
+            i3x[gx][gy] = tm1
+            i3y[gx][gy] = tm2
 
-        w = jxw[g]
-        for ibf in range(4):
-            cN, cx, cy = w * NT[g][ibf], w * DXT[g][ibf], w * DYT[g][ibf]
+    # factorized Galerkin projection of (iN, ix, iy) onto the 4 Q1 test
+    # functions: N part via two 1D Gauss passes; dx/dy parts collapse
+    # across their constant axis to a single sum + 1D pass, then enter
+    # with the +-1/h sign of the test corner.
+    Wx, Wy = W * inv_hx, W * inv_hy
 
-            def add(acc, iN, ix, iy):
-                c = cN * iN + cx * ix + cy * iy
-                return c if acc is None else acc + c
+    def project(iN, ix, iy):
+        A = [[cN[0][ib] * iN[0][gy] + cN[1][ib] * iN[1][gy]
+              for ib in (0, 1)] for gy in (0, 1)]
+        accN = [[(W * cN[0][jb]) * A[0][ib] + (W * cN[1][jb]) * A[1][ib]
+                 for ib in (0, 1)] for jb in (0, 1)]
+        X = [ix[0][gy] + ix[1][gy] for gy in (0, 1)]       # sum over gx
+        Cj = [(Wx * cN[0][jb]) * X[0] + (Wx * cN[1][jb]) * X[1]
+              for jb in (0, 1)]
+        Y = [iy[gx][0] + iy[gx][1] for gx in (0, 1)]       # sum over gy
+        Di = [(Wy * cN[0][ib]) * Y[0] + (Wy * cN[1][ib]) * Y[1]
+              for ib in (0, 1)]
+        return [accN[0][0] - Cj[0] - Di[0],
+                accN[0][1] + Cj[0] - Di[1],
+                accN[1][0] - Cj[1] + Di[0],
+                accN[1][1] + Cj[1] + Di[1]]
 
-            acc1[ibf] = add(acc1[ibf], i1N, i1x, i1y)
-            acc2[ibf] = add(acc2[ibf], i2N, i2x, i2y)
-            acc3[ibf] = add(acc3[ibf], i3N, i3x, i3y)
-
+    acc1 = project(i1N, i1x, i1y)
+    acc2 = project(i2N, i2x, i2y)
+    acc3 = project(i3N, i3x, i3y)
     return acc1, acc2, acc3, valid
 
 
@@ -285,7 +340,7 @@ def _ns_fwd_bs(u, v, p, fx, fy, basis: FEMBasis, visco: float,
         dummy = jnp.zeros((1, 1, 1), u.dtype)
         padded += [dummy, dummy]
         in_specs += [pl.BlockSpec((1, 1, 1), lambda b: (0, 0, 0))] * 2
-    tables = _build_tables(basis)
+    tables = _build_tables_ns(basis)
 
     out_spec = pl.BlockSpec((1, ntiles * TY, n), lambda b: (b, 0, 0))
     out_shape = jax.ShapeDtypeStruct((B, ntiles * TY, n), u.dtype)
@@ -298,7 +353,7 @@ def _ns_fwd_bs(u, v, p, fx, fy, basis: FEMBasis, visco: float,
         out_specs=[out_spec] * 3,
         out_shape=[out_shape] * 3,
         cost_estimate=pl.CostEstimate(
-            flops=int(700 * B * nel * nel),
+            flops=int(510 * B * nel * nel),
             bytes_accessed=int((6 + 2 * has_f) * 4 * B * n * n),
             transcendentals=int(4 * B * nel * nel)),
     )(*padded)
@@ -329,7 +384,7 @@ def _ns_fwd_impl(u, v, p, fx, fy, basis: FEMBasis, visco: float,
         # kernel never DMAs from them when has_f is False
         dummy = jnp.zeros((1, 1, 1), u.dtype)
         padded += [dummy, dummy]
-    tables = _build_tables(basis)
+    tables = _build_tables_ns(basis)
 
     scratch = [pltpu.VMEM((TY + 8, CP), u.dtype) for _ in range(5)]
     out_spec = pl.BlockSpec((1, TY, n), lambda b, t: (b, t, 0),
@@ -344,7 +399,7 @@ def _ns_fwd_impl(u, v, p, fx, fy, basis: FEMBasis, visco: float,
         out_shape=[out_shape] * 3,
         scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((5,))],
         cost_estimate=pl.CostEstimate(
-            flops=int(700 * B * nel * nel),
+            flops=int(510 * B * nel * nel),
             bytes_accessed=int((6 + 2 * has_f) * 4 * B * n * n),
             transcendentals=int(4 * B * nel * nel)),
     )(*padded)
