@@ -1,5 +1,6 @@
-"""Pallas fused-kernel family (interpret-validated; on-device launch gated
-on a standard TPU runtime — see module docstrings).
+"""Pallas fused-kernel family (interpret-validated AND measured on-chip —
+see module docstrings and BENCH_MEASURED.md; the 2D stiffness kernel is
+the repo throughput headline and drives the MG-CG solver fine level).
 
 - :mod:`poisson_residual` — fused Galerkin stiffness action / resmin residual
 - :mod:`poisson_residual_3d` — the 3D (trilinear, 2x2x2-GP) counterpart

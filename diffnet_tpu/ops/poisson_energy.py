@@ -28,9 +28,10 @@ the configuration of every reference energy workload (0_base.py runs 64^2
 deg-1; CIB 256^2 deg-1).
 
 STATUS: interpret-mode validated against the XLA path (value and all three
-VJPs — tests/test_pallas_kernel.py). Like the stiffness kernel, on-device
-launch is gated pending a standard (non-axon-relay) TPU runtime; the XLA
-path in :mod:`diffnet_tpu.pde.poisson` remains the production default.
+VJPs — tests/test_pallas_kernel.py). For TRAINING steps the XLA path in
+:mod:`diffnet_tpu.pde.poisson` remains the production default (round-4
+on-chip A/B: XLA wins the full fwd+bwd step — the kernel family's
+production win is the solver path through the stiffness action).
 """
 
 from __future__ import annotations

@@ -22,13 +22,16 @@ Deg-1 (bilinear, 2x2 Gauss) 2D only — the configuration of every reference
 benchmark workload. Differentiable via custom VJP: the stiffness action is
 self-adjoint in u, and d/d(nu) is one Galerkin projection.
 
-STATUS: numerics validated (matches the XLA path to round-off in Pallas
-interpreter mode, including both VJPs — see tests/test_pallas_kernel.py).
-On this image's experimental 'axon' TPU relay, launching the compiled kernel
-hung the device (DMA wait never completed); execution on real TPU is
-therefore NOT wired into any default path yet — the XLA fused-multi path in
-:mod:`diffnet_tpu.core.fem` remains the production residual. Revisit on a
-standard TPU runtime.
+STATUS (round 4): numerics validated (matches the XLA path to round-off in
+Pallas interpreter mode, including both VJPs — tests/test_pallas_kernel.py)
+AND measured on-chip: the sum-factorized blockspec variant is the repo
+headline (1.11e10 elem/s scan-chained at 512^2 f32, ~3.4x the XLA scan
+loop — BENCH_MEASURED.md), and the kernel drives the production solver
+path via ``module_linear_solve(fused_kernels=True)`` / MG-CG fine-level
+matvecs. The manual-DMA variant (double-buffered halo strips, operands
+pinned in HBM) covers grids past the blockspec VMEM guard (>512^2).
+The early relay DMA hang was traced to Mosaic staging whole ANY-space
+operands into VMEM — fixed by the HBM memory-space pin.
 """
 
 from __future__ import annotations

@@ -22,9 +22,13 @@ Deg-1 (trilinear, 2x2x2 Gauss) only — the configuration of every 3D
 reference workload. Differentiable via custom VJP (self-adjoint in u; one
 Galerkin projection for d/d(nu)), mirroring the 2D kernel.
 
-STATUS: interpret-mode validated against the XLA path (values + VJPs,
-tests/test_pallas_kernel.py). On-device launch gated pending a standard
-(non-axon-relay) TPU runtime, same as the rest of the family.
+STATUS (round 4): interpret-mode validated against the XLA path (values +
+VJPs, tests/test_pallas_kernel.py) and measured on-chip: ~8.3e8 elem/s
+scan-chained at 64^3 (blockspec), ~9e8 at 128^3 (dma) — see
+BENCH_MEASURED.md. The slab body is sum-factorized and z-vectorized;
+the residual ~4x gap to the 2D kernel's vector-op rate is not arithmetic
+or z-serialization (both were fixed with little effect) — likely the
+doubly-misaligned corner windows + read-modify-write assembly.
 """
 
 from __future__ import annotations
