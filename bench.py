@@ -313,7 +313,11 @@ def main():
     # north-star metric and two rounds shipped without it.)
     result.update(_run_tpu_phase("--steps-field-only", timeout=240))
     print(json.dumps(result), flush=True)
-    result.update(_run_tpu_phase("--steps-only", timeout=420,
+    # 600 s: the phase's in-tier recovery waits (probe_with_recovery —
+    # a conv-net tier leaves the relay degraded ~1-2 min after banking)
+    # need headroom beyond the tiers' own runtime; streamed-JSON salvage
+    # keeps the banked tiers even if the cap hits
+    result.update(_run_tpu_phase("--steps-only", timeout=600,
                                  probe_timeout=90))
     print(json.dumps(result), flush=True)
     # VERY last: one compiled-Pallas attempt (known wedge trigger; every
@@ -334,7 +338,7 @@ def main():
                       ("--solve-only", 420), ("--ns-only", 420),
                       ("--p3d-only", 300), ("--bf16-only", 240),
                       ("--largegrid-only", 300),
-                      ("--steps-field-only", 240), ("--steps-only", 420),
+                      ("--steps-field-only", 240), ("--steps-only", 600),
                       ("--pallas-probe-only", 560)):
         key = flag.strip("-").replace("-", "_") + "_error"
         if key not in result:
@@ -554,19 +558,37 @@ def _steps_per_sec():
         _ = float(l)
         return float(f"{reps * K / (time.perf_counter() - t0):.4g}")
 
-    # the SCAN tier goes first: round-4 on-chip runs showed the per-step
+    # the SCAN tiers go first: round-4 on-chip runs showed the per-step
     # dispatch LOOP is what wedges the relay (the bs4 loop banked once,
     # then poisoned the next probe; a later run wedged before banking
-    # anything) — the scan variant issues 1/K as many dispatches
+    # anything; a bs4_scan10 run banked 850.5 steps/s and the relay
+    # wedged only when the loop tier started) — the scan variant issues
+    # 1/K as many dispatches, so escalate batch size within scan mode
+    # before touching the loop tiers at all
+    def probe_with_recovery(tries=3, wait=60):
+        # a conv-net tier often leaves the relay degraded for ~1-2 min
+        # AFTER banking successfully (observed twice on 2026-08-18:
+        # bs4_scan10 banked 850/823 steps/s, the immediate next probe
+        # failed, a manual probe 2 min later passed) — give it a bounded
+        # drain window instead of abandoning the remaining tiers
+        for attempt in range(tries):
+            if _probe_relay(30):
+                return True
+            if attempt < tries - 1:
+                time.sleep(wait)
+        return False
+
     if on_tpu:
-        if not _probe_relay(30):
-            bank("steps_wedge_before_tier", "bs4_scan10")
-            return out
-        bank("ibn32_train_steps_per_sec_bs4_scan10", tier_scan(4, 10, 3))
+        for bs, K, reps in ((4, 10, 3), (16, 10, 2), (64, 10, 2)):
+            if not probe_with_recovery():
+                bank("steps_wedge_before_tier", f"bs{bs}_scan{K}")
+                return out
+            bank(f"ibn32_train_steps_per_sec_bs{bs}_scan{K}",
+                 tier_scan(bs, K, reps))
 
     best = None
     for bs, iters in ((4, 10), (16, 20), (64, 40), (128, 40)):
-        if on_tpu and not _probe_relay(30):
+        if on_tpu and not probe_with_recovery():
             bank("steps_wedge_before_tier", f"bs{bs}")
             return out
         sps = tier(bs, iters)
