@@ -14,6 +14,7 @@ DiffNet/DiffNetFEM.py:7-18): the reference publishes no numbers
 Prints ONE JSON line.
 """
 
+import functools
 import json
 import os
 import subprocess
@@ -325,6 +326,12 @@ def main():
     result.update(_run_tpu_phase("--pallas-probe-only", timeout=560,
                                  probe_timeout=90))
     print(json.dumps(result), flush=True)
+    # assembled-stencil apply tiers (round 4 session 4): own phase so a
+    # pallas-probe timeout can't eat them; also a dma-class wedge risk,
+    # hence after everything else
+    result.update(_run_tpu_phase("--stencil-apply-only", timeout=300,
+                                 probe_timeout=90))
+    print(json.dumps(result), flush=True)
 
     # END-OF-CHAIN SALVAGE (round 4): a mid-chain wedge skips every later
     # phase in ~45-90 s each (measured 2026-08-18: a stencil-phase wedge
@@ -339,7 +346,8 @@ def main():
                       ("--p3d-only", 300), ("--bf16-only", 240),
                       ("--largegrid-only", 300),
                       ("--steps-field-only", 240), ("--steps-only", 600),
-                      ("--pallas-probe-only", 560)):
+                      ("--pallas-probe-only", 560),
+                      ("--stencil-apply-only", 300)):
         key = flag.strip("-").replace("-", "_") + "_error"
         if key not in result:
             continue
@@ -1239,6 +1247,92 @@ def _pallas_probe():
     return out
 
 
+def _stencil_apply_probe():
+    """ASSEMBLED-stencil apply kernel tiers (ops/stencil_apply.py): the
+    production Krylov/MG iteration once the operator is extracted —
+    9/27 FMA per node against width**nsd + 2 fields of traffic,
+    bandwidth-bound where the nu-form kernels are VPU-compute-bound.
+    Random C planes = identical bytes/FLOPs to extracted ones. Own phase
+    (streamed JSON) so a pallas-probe timeout cannot eat these numbers;
+    blockspec tier first, manual-DMA tiers last (the wedge class)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffnet_tpu.ops.stencil_apply import stencil_apply
+
+    out = {}
+
+    def _bank(key, val):
+        out[key] = val
+        print(json.dumps(out), flush=True)
+
+    if jax.devices()[0].platform == "cpu":
+        # numerics pinned by tests/test_stencil_apply_kernel.py; perf
+        # tiers are TPU-only (interpret mode costs hours at 512^2)
+        return out
+
+    def tier_2d(variant):
+        n, bs, K, reps = 512, 32, 20, 3
+        rng = np.random.default_rng(0)
+        C = jnp.asarray(rng.random((9, bs, n, n)), jnp.float32)
+        u = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
+
+        # C must be a runtime ARG, not a closure: a closed-over 301 MB
+        # array bakes into the compile payload and the relay's
+        # remote_compile rejects it (HTTP 413, measured 2026-08-18)
+        def body(C, carry, _):
+            return stencil_apply(C, carry, 2, None, variant) * 1e-6 \
+                + carry, None
+
+        scan_fn = jax.jit(lambda r, C: jax.lax.scan(
+            functools.partial(body, C), r, None, length=K)[0])
+        try:
+            r = scan_fn(u, C)
+        except ValueError as e:   # VMEM-budget guard
+            _bank(f"pallas_stencil_apply_{variant}_{n}_skip", str(e)[:90])
+            return
+        _ = float(jnp.sum(r))
+        _bank(f"pallas_stencil_apply_{variant}_{n}_ok", True)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = scan_fn(r, C)
+        _ = float(jnp.sum(r))
+        t = (time.perf_counter() - t0) / (reps * K)
+        _bank(f"pallas_stencil_apply_elem_per_sec_{n}sq_{variant}_scan",
+              float(f"{bs * (n - 1) ** 2 / t:.4g}"))
+
+    tier_2d("blockspec")
+    tier_2d("dma")
+
+    # 3D 27-point apply at 128^3: the fixed-operator iteration the
+    # z-layer-serialized nu-form kernel cannot reach (gather form, no
+    # read-modify-write into out planes) — the candidate fix for the
+    # "3D caps at ~9e8" structure problem
+    n, bs, K = 128, 1, 5
+    rng = np.random.default_rng(1)
+    C3 = jnp.asarray(rng.random((27, bs, n, n, n)), jnp.float32)
+    u3 = jnp.asarray(rng.random((bs, n, n, n)), jnp.float32)
+
+    def body3(C, carry, _):
+        return stencil_apply(C, carry, 3, None, "dma") * 1e-6 \
+            + carry, None
+
+    scan3 = jax.jit(lambda r, C: jax.lax.scan(
+        functools.partial(body3, C), r, None, length=K)[0])
+    r3 = scan3(u3, C3)
+    _ = float(jnp.sum(r3))
+    _bank("pallas_stencil_apply_dma_3d128_ok", True)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        r3 = scan3(r3, C3)
+    _ = float(jnp.sum(r3))
+    t = (time.perf_counter() - t0) / (reps * K)
+    _bank("pallas_stencil_apply_elem_per_sec_3d128_dma_scan",
+          float(f"{bs * (n-1)**3 / t:.4g}"))
+    return out
+
+
 def _final_l2():
     """Final L2 error, Poisson 64^2 MMS resmin + LBFGS (the reference
     acceptance criterion, e2_manufactured_resmin.py:575)."""
@@ -1710,6 +1804,47 @@ def _solve_time():
     t = (time.perf_counter() - t0) / reps
     out["poisson_varnu_mgcg_solve_ms_pallas"] = float(f"{t * 1e3:.4g}")
     out["poisson_varnu_mgcg_solve_relres_pallas"] = float(f"{relp:.3g}")
+    print(json.dumps(out), flush=True)
+
+    # ASSEMBLED-STENCIL-KERNEL variant (round 4): outer CG matvec AND
+    # every assembled V-cycle level go through the Pallas gather apply
+    # (ops.stencil_apply 'dma') on the one-time extracted planes — the
+    # fixed-operator iteration form. Setup (extraction, hierarchy,
+    # pinv, power iterations) stays on CPU; banked last (manual-DMA
+    # kernel = the wedge class).
+    from diffnet_tpu.train.stencil import extract_verified, stencil_matvec
+
+    with jax.default_device(cpu):
+        M3, _ = multigrid_preconditioner(
+            factory, n, n_coarse=min(33, n), inputs_per_level="restrict",
+            stencil_kernel="dma")
+        Cf, defect = extract_verified(lambda v: Afn(v) - b0, (n, n))
+    if defect > 1e-4:
+        out["poisson_varnu_mgcg_stencil_kernel_skip"] = \
+            f"fine-operator stencil defect {defect:.2e}"
+        return out
+
+    def Ak(v):
+        return stencil_matvec(Cf, v, kernel="dma")
+
+    @jax.jit
+    def solve_sk(b):
+        u, _ = jax.scipy.sparse.linalg.cg(Ak, b, tol=0.0, maxiter=iters,
+                                          M=M3)
+        r = Ak(u) - b
+        return u, jnp.linalg.norm(r) / jnp.linalg.norm(b)
+
+    _, rel = solve_sk(b)
+    rels = float(rel)
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        _, rel = solve_sk(b * (1.0 + 1e-3 * i))
+        rels = float(rel)
+    t = (time.perf_counter() - t0) / reps
+    out["poisson_varnu_mgcg_solve_ms_stencil_kernel"] = \
+        float(f"{t * 1e3:.4g}")
+    out["poisson_varnu_mgcg_solve_relres_stencil_kernel"] = \
+        float(f"{rels:.3g}")
     return out
 
 
@@ -1857,6 +1992,8 @@ if __name__ == "__main__":
         print(json.dumps(_largegrid()), flush=True)
     elif "--pallas-probe-only" in sys.argv:
         print(json.dumps(_pallas_probe()), flush=True)
+    elif "--stencil-apply-only" in sys.argv:
+        print(json.dumps(_stencil_apply_probe()), flush=True)
     elif "--ns-only" in sys.argv:
         print(json.dumps(_ns_throughput()), flush=True)
     elif "--solve-only" in sys.argv:

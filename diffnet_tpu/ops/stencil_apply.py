@@ -64,8 +64,28 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
+from jax.experimental import pallas as _pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+class _PallasCPUFallback:
+    """pl namespace proxy: pallas_call gains interpret=True when the
+    default backend is CPU, so solver knobs (``stencil_kernel=``) keep
+    working in CPU dev/test runs instead of failing inside CG with
+    'Only interpret mode is supported on CPU backend'. Small grids only
+    — interpret mode is orders of magnitude slower than XLA."""
+
+    def __getattr__(self, name):
+        return getattr(_pl, name)
+
+    @staticmethod
+    def pallas_call(*a, **k):
+        if "interpret" not in k and jax.default_backend() == "cpu":
+            k["interpret"] = True
+        return _pl.pallas_call(*a, **k)
+
+
+pl = _PallasCPUFallback()
 
 __all__ = ["stencil_apply", "stencil_apply_2d", "stencil_apply_3d",
            "stencil_transpose_planes"]

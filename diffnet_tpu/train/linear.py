@@ -38,7 +38,8 @@ def solve_linear(residual_fn: Callable, shape, method: str = "cg",
                  tol: float = 1e-8, maxiter: int | None = None,
                  M: Callable | None = None, x0=None,
                  restart: int | None = None,
-                 assemble: str | None = None, stencil_width: int = 3):
+                 assemble: str | None = None, stencil_width: int = 3,
+                 stencil_kernel: str | None = None):
     """Solve ``residual_fn(u) == 0`` for affine ``residual_fn``.
 
     residual_fn: nodal field ``[...shape]`` -> residual of the same shape
@@ -53,6 +54,11 @@ def solve_linear(residual_fn: Callable, shape, method: str = "cg",
         ~3x less HBM traffic per iteration for deg-1 operators (pass
         ``stencil_width=2*deg+1`` for higher degree). Grid operators
         only (not pytree/mixed systems).
+    stencil_kernel: with ``assemble='stencil'``, ``'dma'``/``'blockspec'``
+        routes each iteration's matvec through the fused Pallas gather
+        kernel (``ops.stencil_apply`` — one HBM read per C plane/u strip
+        instead of XLA's materialized pad+shift pieces). TPU only;
+        width-3 (deg-1) operators.
 
     Returns ``(u, info)`` like jax.scipy.sparse.linalg. Raises ValueError
     if the residual is detectably non-affine (checked to float tolerance
@@ -109,9 +115,12 @@ def solve_linear(residual_fn: Callable, shape, method: str = "cg",
                 "2*deg+1 or drop assemble='stencil'")
 
         def A(u, C=C):
-            return stencil_matvec(C, u, width=stencil_width)
+            return stencil_matvec(C, u, width=stencil_width,
+                                  kernel=stencil_kernel)
     elif assemble is not None:
         raise ValueError(f"unknown assemble mode {assemble!r}")
+    elif stencil_kernel is not None:
+        raise ValueError("stencil_kernel requires assemble='stencil'")
 
     if maxiter is None:
         ndof = sum(int(jnp.asarray(z.size)) for z in jax.tree.leaves(zero))
@@ -138,7 +147,8 @@ def module_linear_solve(module, inputs_tensor=None, forcing_tensor=None,
                         method: str = "cg", tol: float = 1e-8,
                         maxiter: int | None = None, M=None,
                         assemble: str | None = None,
-                        stencil_width: int | None = None):
+                        stencil_width: int | None = None,
+                        stencil_kernel: str | None = None):
     """Direct linear solve of a pde module's single-instance problem.
 
     Builds ``residual_fn(u)`` from the module's own loss machinery: the
@@ -196,7 +206,8 @@ def module_linear_solve(module, inputs_tensor=None, forcing_tensor=None,
         stencil_width = 2 * int(getattr(module, "fem_basis_deg", 1)) + 1
     u, info = solve_linear(residual_fn, shape, method=method, tol=tol,
                            maxiter=maxiter, M=M, assemble=assemble,
-                           stencil_width=stencil_width)
+                           stencil_width=stencil_width,
+                           stencil_kernel=stencil_kernel)
     # substitute the Dirichlet values the residual masking assumed
     apply_bcs = getattr(module, "apply_bcs", None)
     if apply_bcs is not None:
@@ -259,7 +270,8 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
                              assemble: str = "stencil",
                              smoother: str = "chebyshev",
                              cheb_alpha: float = 4.0,
-                             fine_matvec=None):
+                             fine_matvec=None,
+                             stencil_kernel: str | None = None):
     """Matrix-free geometric-multigrid V-cycle preconditioner M ~ A^-1 for
     :func:`solve_linear` on node-aligned grid hierarchies (n = 2^k + 1).
     ``n_fine`` may be an int (square/cubic; ``module_factory`` is called
@@ -303,6 +315,14 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
     inputs_per_level may also be a callable n -> (inputs, forcing) as
     before; None keeps the per-level dataset behavior (constant-nu safe).
 
+    stencil_kernel: ``'dma'``/``'blockspec'`` routes every ASSEMBLED
+    level's RUN-time matvec through the fused Pallas gather apply
+    (``ops.stencil_apply``) instead of the XLA pad+shift pass — TPU
+    only, deg-1 (width-3) levels; levels whose probe defect rejects
+    stencil form keep their matrix-free operator. Setup probing (power
+    iteration, coarse pinv) stays on the XLA matvec, so the hierarchy
+    can be BUILT on the CPU backend and solved on the TPU.
+
     fine_matvec: optional LINEAR fine-grid operator ``v -> A v`` used at
     RUN time for the finest level in place of the factory module's
     operator (which still drives all setup probing — the two must be the
@@ -329,6 +349,9 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
     if assemble not in ("stencil", "stencil_coarse", None):
         raise ValueError(f"unknown assemble mode {assemble!r} (expected "
                          "'stencil', 'stencil_coarse', or None)")
+    if stencil_kernel is not None and assemble is None:
+        raise ValueError("stencil_kernel requires an assembling mode "
+                         "('stencil' or 'stencil_coarse')")
     if smoother == "chebyshev" and not cheb_alpha > 1.0:
         raise ValueError(
             f"cheb_alpha must be > 1 (got {cheb_alpha}): the smoothing "
@@ -395,6 +418,11 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
             return _levels[n]
 
     ops, omegas, invdiags, lams = [], [], [], []
+    kernel_swaps = []   # (level, C): assembled levels to re-route through
+    # the Pallas gather apply AFTER setup (setup probing — power
+    # iteration, coarse pinv — stays on the XLA matvec so hierarchies can
+    # be BUILT on the CPU backend and solved on the TPU; the two apply
+    # paths are bit-matched by tests/test_stencil_apply_kernel.py)
     for li, n in enumerate(ns):
         shape = shapes[li]
         if coarse_op == "galerkin" and li > 0:
@@ -450,6 +478,7 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
             C, defect = extract_verified(A, shape)
             if defect <= 1e-4:
                 A = jax.jit(lambda u, C=C: stencil_matvec(C, u))
+                kernel_swaps.append((li, C))
                 diag = np.asarray(stencil_diag(C))
             else:
                 diag = _colored_diag(A, shape)
@@ -502,6 +531,15 @@ def multigrid_preconditioner(module_factory, n_fine: int, n_coarse: int = 9,
     # those as 1e-7-singular-value modes -> 1e14 entries in the inverse
     # (the coarse grid's true cond is ~(n_coarse-1)^2, far above 1e-5)
     A0_pinv = jnp.asarray(np.linalg.pinv(A0, rcond=1e-5), jnp.float32)
+
+    if stencil_kernel is not None:
+        for li, C in kernel_swaps:
+            if li == 0 and fine_matvec is not None:
+                continue   # explicit runtime fine operator wins
+            if li == len(ns) - 1:
+                continue   # coarsest level runs the dense pinv only
+            ops[li] = jax.jit(lambda u, C=C: stencil_matvec(
+                C, u, kernel=stencil_kernel))
 
     def smooth(level, u, b, k):
         A, invdiag = ops[level], invdiags[level]

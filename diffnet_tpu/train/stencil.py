@@ -101,14 +101,35 @@ def extract_stencil(A: Callable, shape, width: int = 3, nsd: int | None = None):
     return jnp.asarray(C)
 
 
-def stencil_matvec(C, u, width: int = 3, nsd: int | None = None):
+def stencil_matvec(C, u, width: int = 3, nsd: int | None = None,
+                   kernel: str | None = None):
     """Apply an extracted stencil: one zero-pad of ``u`` plus
     ``width**nsd`` shifted multiply-adds — XLA fuses this into a single
     elementwise pass (traffic ~ C + u + out), the iteration kernel the
-    element-tensor path cannot reach (see module docstring)."""
+    element-tensor path cannot reach (see module docstring).
+
+    kernel: ``'dma'`` / ``'blockspec'`` routes the apply through the
+    fused Pallas gather kernel (:mod:`diffnet_tpu.ops.stencil_apply` —
+    reads each C plane and the haloed u strip exactly once per tile
+    instead of materializing the pad/shift pieces). width-3, nsd 2/3
+    only; leading axes are collapsed into the kernel's batch axis."""
     u = jnp.asarray(u)
     if nsd is None:
         nsd = u.ndim
+    if kernel is not None:
+        if width != 3 or nsd not in (2, 3):
+            raise ValueError(
+                "kernel= supports width-3 stencils on 2/3 spatial axes "
+                f"only (got width={width}, nsd={nsd}); drop kernel= for "
+                "the XLA path")
+        from ..ops.stencil_apply import stencil_apply
+        spatial = u.shape[-nsd:]
+        ub = u.reshape((-1,) + spatial)
+        Cb = jnp.asarray(C).reshape((width ** nsd, -1) + spatial)
+        if Cb.shape[1] == 1 and ub.shape[0] > 1:
+            Cb = jnp.broadcast_to(Cb, (Cb.shape[0],) + ub.shape)
+        out = stencil_apply(Cb, ub, nsd, None, kernel)
+        return out.reshape(u.shape)
     h = (width - 1) // 2
     pad = [(0, 0)] * (u.ndim - nsd) + [(h, h)] * nsd
     up = jnp.pad(u, pad)
