@@ -50,9 +50,40 @@ from .poisson_residual import _build_tables, poisson_stiffness_action
 __all__ = ["poisson_energy_fused"]
 
 
+def _build_tables_energy(basis: FEMBasis):
+    """Separable energy tables (round 4, session 4): the folded constants
+    of the SUM-FACTORIZED energy body (see `_kernel`). Asserts the
+    tensor-product structure of the full per-GP tables under the repo's
+    index conventions (IGP = jgp*ngp + igp, corner k = jb*2 + ib) so a
+    convention drift fails loudly at module-construction time."""
+    import numpy as np
+
+    NT, DXT, DYT, jxw = _build_tables(basis)
+    xi = np.asarray(basis.gp_1d, np.float64)
+    cN = np.stack([(1.0 - xi) / 2.0, (1.0 + xi) / 2.0], -1)  # [gp, node]
+    hx, hy = (float(v) for v in basis.h)
+    W = float(jxw[0])
+    assert np.allclose(jxw, W), "2x2 Gauss has equal weights"
+    dNx = np.array([[-1.0 / hx, 1.0 / hx]] * 2)              # [gp, node]
+    dNy = np.array([[-1.0 / hy, 1.0 / hy]] * 2)
+    for gy in range(2):
+        for gx in range(2):
+            g = gy * 2 + gx
+            for jb in range(2):
+                for ib in range(2):
+                    k = jb * 2 + ib
+                    assert abs(NT[g][k] - cN[gy][jb] * cN[gx][ib]) < 1e-12
+                    assert abs(DXT[g][k] - cN[gy][jb] * dNx[gx][ib]) < 1e-12
+                    assert abs(DYT[g][k] - dNy[gy][jb] * cN[gx][ib]) < 1e-12
+    d2 = float((cN[0, 0] - cN[0, 1]) ** 2)   # (p-q)^2 = 1/3
+    c1x = W / (8.0 * hx * hx)
+    c1y = W / (8.0 * hy * hy)
+    return (c1x, d2 * c1x, 2.0 * d2 * c1x,
+            c1y, d2 * c1y, 2.0 * d2 * c1y, W / 9.0)
+
+
 def _kernel(u_hbm, nu_hbm, f_hbm, out_ref, u_s, nu_s, f_s, sems,
-            *, tables, TY, nel):
-    NT, DXT, DYT, jxw = tables
+            *, tables_sep, TY, nel):
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -85,15 +116,33 @@ def _kernel(u_hbm, nu_hbm, f_hbm, out_ref, u_s, nu_s, f_s, sems,
     e_row = jax.lax.broadcasted_iota(jnp.int32, (TY, nel), 0) + row0
     valid = (e_row < nel).astype(u.dtype)
 
-    acc = None
-    for g in range(4):
-        ug = sum(NT[g][k] * uc[k] for k in range(4))
-        ux = sum(DXT[g][k] * uc[k] for k in range(4))
-        uy = sum(DYT[g][k] * uc[k] for k in range(4))
-        nug = sum(NT[g][k] * nc[k] for k in range(4))
-        fg = sum(NT[g][k] * fc[k] for k in range(4))
-        e_g = jxw[g] * (0.5 * nug * (ux * ux + uy * uy) - ug * fg)
-        acc = e_g if acc is None else acc + e_g
+    # SUM-FACTORIZED body (round 4, session 4; exact — see
+    # _build_tables_energy's convention asserts and the derivation in
+    # ops/poisson_residual._strip_lr). The GP loop collapses:
+    #   sum_g W nug ux^2 = nsum (c1x Ux^2 + c2x Vx^2) + c3x Ux Vx Xx
+    # (U/V = sum/diff of the two x-differences, W/X = sum/diff of the nu
+    # row sums), and the load term sum_g W ug fg = W u^T (m (x) m) f with
+    # the 1D Gauss mass m = [[2,1],[1,2]]/3 — ~61 vector ops/element vs
+    # ~168 for the per-GP loop.
+    c1x, c2x, c3x, c1y, c2y, c3y, cm = tables_sep
+    c00, c01, c10, c11 = uc
+    n00, n01, n10, n11 = nc
+    f00, f01, f10, f11 = fc
+    dxl, dxh = c01 - c00, c11 - c10
+    dyl, dyh = c10 - c00, c11 - c01
+    sxr0, sxr1 = n00 + n01, n10 + n11
+    syc0, syc1 = n00 + n10, n01 + n11
+    nsum = sxr0 + sxr1
+    Xx, Xy = sxr0 - sxr1, syc0 - syc1
+    Ux, Vx = dxl + dxh, dxl - dxh
+    Uy, Vy = dyl + dyh, dyl - dyh
+    ex = nsum * (c1x * (Ux * Ux) + c2x * (Vx * Vx)) + c3x * (Ux * Vx) * Xx
+    ey = nsum * (c1y * (Uy * Uy) + c2y * (Vy * Vy)) + c3y * (Uy * Vy) * Xy
+    ga, gb = 2.0 * f00 + f10, 2.0 * f01 + f11
+    gc, gd = f00 + 2.0 * f10, f01 + 2.0 * f11
+    load = cm * (c00 * (2.0 * ga + gb) + c01 * (ga + 2.0 * gb)
+                 + c10 * (2.0 * gc + gd) + c11 * (gc + 2.0 * gd))
+    acc = ex + ey - load
 
     s = jnp.sum(acc * valid)
     out_ref[0, 0] = jnp.full((128,), s, u.dtype)
@@ -111,10 +160,10 @@ def _energy_fwd_impl(u, nu, f, basis: FEMBasis, tile_y: int = 128):
     u_p = jnp.pad(u, cfg)
     nu_p = jnp.pad(nu, cfg)
     f_p = jnp.pad(f, cfg)
-    tables = _build_tables(basis)
+    tables_sep = _build_tables_energy(basis)
 
     out = pl.pallas_call(
-        partial(_kernel, tables=tables, TY=TY, nel=nel),
+        partial(_kernel, tables_sep=tables_sep, TY=TY, nel=nel),
         grid=(B, ntiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 3,
         out_specs=pl.BlockSpec((1, 1, 128), lambda b, t: (b, t, 0),
@@ -127,7 +176,7 @@ def _energy_fwd_impl(u, nu, f, basis: FEMBasis, tile_y: int = 128):
             pltpu.SemaphoreType.DMA((3,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=int(120 * B * nel * nel),
+            flops=int(70 * B * nel * nel),
             bytes_accessed=int(3 * 4 * B * n * n),
             transcendentals=0),
     )(u_p, nu_p, f_p)
