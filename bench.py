@@ -261,101 +261,94 @@ def main():
     # keeps one wedged phase from eating the others (VERDICT r1 item 2).
     # The L2 phase is an ACCURACY metric, so it runs CPU-pinned and
     # completes even with the relay down.
-    # phase timeouts sum to ~3800s against the 3600s outer guard (solve +
-    # extended pallas probe added late round 3) — deliberately OVER-
-    # committed: healthy-relay wall time is ~15 min total, the probe
-    # gating short-circuits wedged phases in ~45-90s each, and in the
-    # all-phases-at-timeout worst case the guard cuts the tail (the
-    # deliberately-last steps/pallas phases) — every phase prints the
-    # cumulative JSON, so whatever completed is salvaged.
     #
-    # ORDER MATTERS: when the relay is in its fragile state, the IBN steps
-    # phase doesn't just hang ITSELF — the hang degrades the relay for
-    # subsequent processes for several minutes (measured 2026-08-17: with
-    # steps first, ns/p3d device-blocked right after; with the relay
-    # rested, the same phases pass standalone). So the wedge-prone steps
-    # phase runs LAST, after every other metric is banked. The accuracy
-    # (l2) phase is CPU-pinned and immune either way.
-    # serve is the LIGHTEST TPU phase (50 tiny AE dispatches) — run it
-    # right after the primary while the relay is freshest (in r02 it sat
-    # behind ns/p3d/bf16 and the relay was degraded by its turn)
-    result.update(_run_tpu_phase("--serve-only", timeout=240))
-    print(json.dumps(result), flush=True)
-    # assembled-stencil iteration (train/stencil.py) — the production
-    # Krylov/MG per-iteration kernel; relay-safe class (stencil chains)
-    result.update(_run_tpu_phase("--stencil-only", timeout=300))
-    print(json.dumps(result), flush=True)
+    # ORDER: flagship numbers first, conv-net (wedge-class) phases last
+    # among the TPU phases — an IBN steps hang degrades the relay for
+    # subsequent processes for several minutes (measured 2026-08-17), so
+    # it must not run before the context metrics are banked.
+    #
+    # GLOBAL DEADLINE (round 5 — VERDICT r4 weak 1): BENCH_r04 died rc=124
+    # because recovery waits + late-ordered flagship phases overran the
+    # driver's outer kill. Every phase now checks the remaining budget
+    # first, its subprocess timeout is capped to what is left, and the
+    # chain is ordered FLAGSHIP-FIRST so an early wedge starves the
+    # context metrics, never the headline ones.
+    guard = int(os.environ.get("DIFFNET_BENCH_TIMEOUT", "3300"))
+    inner_budget = int(os.environ.get("DIFFNET_BENCH_INNER_BUDGET",
+                                      str(guard)))
+    deadline = _PROC_T0 + inner_budget - 45   # 45 s teardown margin
+
+    def run_next(flag, tmo, tpu=True, probe_timeout=45):
+        left = deadline - time.monotonic()
+        key = flag.strip("-").replace("-", "_") + "_error"
+        if left < min(tmo, 90) + 30:
+            result[key] = "skipped: global bench deadline"
+            print(json.dumps(result), flush=True)
+            return
+        tmo = int(min(tmo, left - 30))
+        if tpu:
+            result.update(_run_tpu_phase(flag, tmo,
+                                         probe_timeout=probe_timeout))
+        else:
+            result.update(_run_phase(flag, tmo))
+        print(json.dumps(result), flush=True)
+
+    # FLAGSHIP TIER FIRST (VERDICT r4 #1): the Pallas 2D scan headline,
+    # the assembled-stencil apply kernel, and the IBN bs4 one-dispatch
+    # scan tier — the three numbers that existed only in BENCH_MEASURED
+    # self-reports last round — bank before anything else can wedge.
+    run_next("--flagship-only", 360)
+    # safe stencil-class training steps (reference
+    # e2_manufactured_resmin.py:543 configuration)
+    run_next("--steps-field-only", 240)
     # end-to-end time-to-solution (MG-CG, whole solve in one dispatch;
     # setup is CPU-side so the relay only sees the solve)
-    result.update(_run_tpu_phase("--solve-only", timeout=420))
-    print(json.dumps(result), flush=True)
-    result.update(_run_phase("--l2-only", timeout=420))
-    print(json.dumps(result), flush=True)
-    # beyond-baseline perf context: the hardest residual (NS full VMS, 13 GP
-    # quantities + stabilization + 3 assemblies) and the bf16-field variant
-    # of the primary metric (accuracy impact: docs/MIXED_PRECISION.md)
-    result.update(_run_tpu_phase("--ns-only", timeout=420))
-    print(json.dumps(result), flush=True)
-    result.update(_run_tpu_phase("--p3d-only", timeout=300))
-    print(json.dumps(result), flush=True)
-    result.update(_run_tpu_phase("--bf16-only", timeout=240))
-    print(json.dumps(result), flush=True)
-    result.update(_run_tpu_phase("--largegrid-only", timeout=300))
-    print(json.dumps(result), flush=True)
-    # steps LAST (its hang degrades the relay for minutes — see module
-    # docstring). Round-3 measurements isolated the wedge class: CONV-NET
-    # training loops (AE/UNet forward+backward) hang the relay reliably —
-    # even 20 device-resident steps with no loader and no winding einsum —
-    # while stencil/matmul residual training survives. So: bank the safe
-    # direct-field steps metric FIRST (a real training configuration,
-    # reference e2_manufactured_resmin.py:543), THEN attempt the flagship
-    # IBN conv-net steps, accepting it may wedge (everything else is
-    # already banked). (VERDICT r2 weak 1: BASELINE names steps/sec a
-    # north-star metric and two rounds shipped without it.)
-    result.update(_run_tpu_phase("--steps-field-only", timeout=240))
-    print(json.dumps(result), flush=True)
-    # 600 s: the phase's in-tier recovery waits (probe_with_recovery —
-    # a conv-net tier leaves the relay degraded ~1-2 min after banking)
-    # need headroom beyond the tiers' own runtime; streamed-JSON salvage
-    # keeps the banked tiers even if the cap hits
-    result.update(_run_tpu_phase("--steps-only", timeout=600,
-                                 probe_timeout=90))
-    print(json.dumps(result), flush=True)
-    # VERY last: one compiled-Pallas attempt (known wedge trigger; every
-    # other metric is already banked when this fires)
-    result.update(_run_tpu_phase("--pallas-probe-only", timeout=560,
-                                 probe_timeout=90))
-    print(json.dumps(result), flush=True)
-    # assembled-stencil apply tiers (round 4 session 4): own phase so a
-    # pallas-probe timeout can't eat them; also a dma-class wedge risk,
-    # hence after everything else
-    result.update(_run_tpu_phase("--stencil-apply-only", timeout=300,
-                                 probe_timeout=90))
-    print(json.dumps(result), flush=True)
+    run_next("--solve-only", 420)
+    # accuracy metric — CPU-pinned, immune to the relay
+    run_next("--l2-only", 420, tpu=False)
+    # serve is the LIGHTEST TPU phase (tiny AE dispatches)
+    run_next("--serve-only", 240)
+    # assembled-stencil XLA iteration (train/stencil.py)
+    run_next("--stencil-only", 300)
+    # beyond-baseline perf context: the hardest residual (NS full VMS, 13
+    # GP quantities + stabilization + 3 assemblies), 3D, bf16, largegrid
+    run_next("--ns-only", 360)
+    run_next("--p3d-only", 300)
+    run_next("--bf16-only", 240)
+    run_next("--largegrid-only", 300)
+    # IBN conv-net tier escalation (bs4->512 scan, then loop tiers) —
+    # the wedge-prone class runs AFTER every context metric is banked;
+    # in-tier probes + streamed JSON bound the loss to one tier
+    run_next("--steps-only", 600, probe_timeout=90)
+    # full Pallas tier matrix (3D, NS, bf16, 1024^2, 128^3)
+    run_next("--pallas-probe-only", 560, probe_timeout=90)
+    # remaining stencil-apply tiers (3D 128^3; 512^2 banked by flagship)
+    run_next("--stencil-apply-only", 300, probe_timeout=90)
 
     # END-OF-CHAIN SALVAGE (round 4): a mid-chain wedge skips every later
     # phase in ~45-90 s each (measured 2026-08-18: a stencil-phase wedge
     # cost solve/ns/p3d/bf16/largegrid/steps their numbers), and today's
     # wedges cleared in 20-40 min. If the relay is healthy again once the
-    # chain is done and the outer guard has room, re-run each skipped or
-    # timed-out TPU phase once, in the original order; stop at the first
-    # sign of a re-wedge.
-    guard = int(os.environ.get("DIFFNET_BENCH_TIMEOUT", "3600"))
-    for flag, tmo in (("--serve-only", 240), ("--stencil-only", 300),
-                      ("--solve-only", 420), ("--ns-only", 420),
+    # chain is done and the deadline has room, re-run each skipped or
+    # timed-out TPU phase once, flagship first; stop at the first sign of
+    # a re-wedge.
+    for flag, tmo in (("--flagship-only", 360),
+                      ("--steps-field-only", 240),
+                      ("--solve-only", 420), ("--serve-only", 240),
+                      ("--stencil-only", 300), ("--ns-only", 360),
                       ("--p3d-only", 300), ("--bf16-only", 240),
-                      ("--largegrid-only", 300),
-                      ("--steps-field-only", 240), ("--steps-only", 600),
+                      ("--largegrid-only", 300), ("--steps-only", 600),
                       ("--pallas-probe-only", 560),
                       ("--stencil-apply-only", 300)):
         key = flag.strip("-").replace("-", "_") + "_error"
         if key not in result:
             continue
-        if time.monotonic() - _PROC_T0 > guard - tmo - 120:
+        left = deadline - time.monotonic()
+        if left < 120:
             break
         if not _probe_relay(45):
             break
-        got = _run_phase(flag, tmo)
+        got = _run_phase(flag, int(min(tmo, left - 30)))
         if set(got) != {key}:
             result.pop(key, None)   # the retry banked something real
         result.update(got)
@@ -420,8 +413,10 @@ def _run_tpu_phase(flag, timeout, probe_timeout=45):
     deliberately-last steps/pallas phases past the outer kill."""
     if _RECOVERY_BUDGET[0] is None:
         _RECOVERY_BUDGET[0] = int(
-            os.environ.get("DIFFNET_BENCH_RECOVERY_WAIT", "600"))
-    half_guard = 0.5 * int(os.environ.get("DIFFNET_BENCH_TIMEOUT", "3600"))
+            os.environ.get("DIFFNET_BENCH_RECOVERY_WAIT", "420"))
+    half_guard = 0.5 * int(os.environ.get(
+        "DIFFNET_BENCH_INNER_BUDGET",
+        os.environ.get("DIFFNET_BENCH_TIMEOUT", "3300")))
     ok = _probe_relay(probe_timeout)
     while (not ok and _RECOVERY_BUDGET[0] > 0
            and time.monotonic() - _PROC_T0 < half_guard):
@@ -471,6 +466,139 @@ def _run_phase(flag, timeout):
         return got
     except Exception as e:
         return {key: str(e)[:200]}
+
+
+def _flagship():
+    """FLAGSHIP tier (round 5, VERDICT r4 #1): the three headline numbers
+    that round 4 banked only in BENCH_MEASURED self-reports, measured
+    FIRST so no later wedge can starve them:
+
+      1. fused Pallas 2D residual, 512^2/bs32, scan-chained (the 1.1e10
+         elem/s kernel headline; ops/poisson_residual.py 'dma')
+      2. assembled-stencil apply kernel, 512^2/bs32 scan-chained (the
+         production fixed-operator Krylov/MG iteration,
+         ops/stencil_apply.py 'dma')
+      3. IBN conv-net training, bs4 x 10 Adam steps in ONE lax.scan
+         dispatch (the reference flagship config at its smallest banked
+         tier — IBN_2D.py:174-216)
+
+    Streams cumulative JSON after each banked metric; ordered
+    stencil-class first, conv-net class (the wedge class) last. Perf-only:
+    returns immediately on CPU (numerics are pinned by the test suite)."""
+    import jax
+    import jax.numpy as jnp
+
+    out = {}
+    if jax.devices()[0].platform == "cpu":
+        return out
+
+    def bank(key, val):
+        out[key] = val
+        print(json.dumps(out), flush=True)
+
+    from diffnet_tpu.core import fem
+    from diffnet_tpu.core.quadrature import make_basis
+    from diffnet_tpu.ops import poisson_residual_fused
+    from diffnet_tpu.ops.stencil_apply import stencil_apply
+
+    # --- 1. fused Pallas 2D scan headline ---
+    n, bs, K, reps = 512, 32, 20, 3
+    h = 1.0 / (n - 1)
+    basis = make_basis(2, 1, h=(h, h))
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
+    nu = jnp.asarray(rng.random((bs, n, n)), jnp.float32)
+    f_gp = jnp.asarray(rng.random((bs, n - 1, n - 1, 4)), jnp.float32)
+    bc = jnp.zeros((n, n)).at[0, :].set(1.0).at[-1, :].set(1.0)
+    Nf = jax.jit(lambda f: fem.galerkin_project(f, basis, "N", (n, n)))(
+        f_gp)
+
+    def body(carry, _):
+        R = poisson_residual_fused(carry, nu, Nf, bc, basis, variant="dma")
+        return R * 1e-6 + carry, None
+
+    scan_fn = jax.jit(lambda r: jax.lax.scan(body, r, None, length=K)[0])
+    r = scan_fn(u)
+    _ = float(jnp.sum(r))
+    bank("pallas_probe_dma_512_ok", True)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = scan_fn(r)
+    _ = float(jnp.sum(r))
+    t = (time.perf_counter() - t0) / (reps * K)
+    bank("pallas_fused_elem_per_sec_512sq_dma_scan",
+         float(f"{bs * (n - 1) ** 2 / t:.4g}"))
+
+    # --- 2. assembled-stencil apply kernel (fixed-operator iteration) ---
+    # random C planes = identical bytes/FLOPs to extracted ones; C must
+    # be a runtime ARG (closures >100 MB trip the relay's compile-payload
+    # limit, HTTP 413 — round-4 note)
+    C = jnp.asarray(rng.random((9, bs, n, n)), jnp.float32)
+
+    def abody(C, carry, _):
+        return stencil_apply(C, carry, 2, None, "dma") * 1e-6 + carry, None
+
+    ascan = jax.jit(lambda r, C: jax.lax.scan(
+        functools.partial(abody, C), r, None, length=K)[0])
+    r = ascan(u, C)
+    _ = float(jnp.sum(r))
+    bank("pallas_stencil_apply_dma_512_ok", True)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = ascan(r, C)
+    _ = float(jnp.sum(r))
+    t = (time.perf_counter() - t0) / (reps * K)
+    bank("pallas_stencil_apply_elem_per_sec_512sq_dma_scan",
+         float(f"{bs * (n - 1) ** 2 / t:.4g}"))
+
+    # --- 3. IBN conv-net bs4 scan tier (the wedge class; last) ---
+    if not _probe_relay(30):
+        bank("flagship_ibn_skip", "relay wedged after kernel tiers")
+        return out
+    import optax
+
+    from diffnet_tpu.models.networks import AE
+    from diffnet_tpu.pde.ibn import IBNPoisson2D
+
+    ng = 32
+    net = AE(out_channels=1, dims=8, n_downsample=2)
+    bs4 = 4
+    module = IBNPoisson2D(net, source_from="inputs", domain_size=ng,
+                          batch_size=bs4)
+    inputs = jnp.asarray(rng.random((bs4, ng, ng, 3)), jnp.float32)
+    forcing = jnp.asarray(rng.random((bs4, ng, ng, 1)), jnp.float32)
+    params = net.init(jax.random.key(0), inputs)
+    opt = optax.adam(3e-4)
+    opt_state = opt.init(params)
+
+    def loss_fn(params):
+        u = net.apply(params, inputs)
+        return module.loss(u, inputs, forcing)
+
+    def sbody(carry, _):
+        p, s = carry
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(g, s, p)
+        return (optax.apply_updates(p, updates), s), loss
+
+    Ks = 10
+
+    @jax.jit
+    def steps(params, opt_state):
+        (p, s), losses = jax.lax.scan(sbody, (params, opt_state), None,
+                                      length=Ks)
+        return p, s, losses[-1]
+
+    params, opt_state, l = steps(params, opt_state)
+    _ = float(l)
+    sreps = 3
+    t0 = time.perf_counter()
+    for _ in range(sreps):
+        params, opt_state, l = steps(params, opt_state)
+    _ = float(l)
+    bank("ibn32_train_steps_per_sec_bs4_scan10",
+         float(f"{sreps * Ks / (time.perf_counter() - t0):.4g}"))
+    return out
 
 
 def _steps_per_sec():
@@ -587,7 +715,12 @@ def _steps_per_sec():
         return False
 
     if on_tpu:
-        for bs, K, reps in ((4, 10, 3), (16, 10, 2), (64, 10, 2)):
+        # escalate to the reference's flagship batch (IBN_2D.py:216 trains
+        # 32^2/bs512 — VERDICT r4 #5): each tier is ONE lax.scan dispatch
+        # per rep, probed + banked independently, so the largest surviving
+        # tier is recorded even when a later one wedges
+        for bs, K, reps in ((4, 10, 3), (16, 10, 2), (64, 10, 2),
+                            (256, 10, 2), (512, 10, 2)):
             if not probe_with_recovery():
                 bank("steps_wedge_before_tier", f"bs{bs}_scan{K}")
                 return out
@@ -1877,14 +2010,23 @@ def _guarded():
     import select as _select
     import tempfile
 
+    # the deadline is set BEFORE any startup wait so waiting counts
+    # against the budget (round-4 bug: the wait ran first, so a wedged
+    # start pushed the whole chain past the driver's outer kill — rc 124)
+    guard = int(os.environ.get("DIFFNET_BENCH_TIMEOUT", "3300"))
+    t_start = time.monotonic()
+    deadline = t_start + guard
+
     # relay wedged BEFORE the run even starts (observed: outages of
     # 30 min - 9 h that recover by themselves): wait a bounded time for
     # recovery rather than burning the whole guard hanging inside the
     # primary phase with zero metrics banked. Non-JSON progress lines —
-    # the driver takes the last JSON line as the result.
+    # the driver takes the last JSON line as the result. Default capped
+    # at 300 s / <=20% of the guard (VERDICT r4 #1b: 900 s ate a third
+    # of the round-4 budget).
     if not os.environ.get("DIFFNET_BENCH_CPU"):
-        wait_budget = int(os.environ.get("DIFFNET_BENCH_STARTUP_WAIT",
-                                         "900"))
+        wait_budget = min(int(os.environ.get("DIFFNET_BENCH_STARTUP_WAIT",
+                                             "300")), int(0.2 * guard))
         t_w0 = time.monotonic()
         while (not _probe_relay(45)
                and time.monotonic() - t_w0 < wait_budget):
@@ -1893,8 +2035,10 @@ def _guarded():
                   flush=True)
             time.sleep(60)
 
-    deadline = time.monotonic() + int(
-        os.environ.get("DIFFNET_BENCH_TIMEOUT", "3600"))
+    # tell the inner process how much wall is actually left (its own
+    # monotonic clock starts after the jax import, so it cannot know)
+    os.environ["DIFFNET_BENCH_INNER_BUDGET"] = str(
+        int(deadline - time.monotonic() - 30))
     err_file = tempfile.TemporaryFile()
     # bufsize=0 + raw os.read: select() and the reader see the SAME fd
     # with no Python-level buffer in between, so a complete line can
@@ -1982,7 +2126,9 @@ if __name__ == "__main__":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    if "--steps-only" in sys.argv:
+    if "--flagship-only" in sys.argv:
+        print(json.dumps(_flagship()), flush=True)
+    elif "--steps-only" in sys.argv:
         print(json.dumps(_steps_per_sec()), flush=True)
     elif "--steps-fallback-only" in sys.argv:
         print(json.dumps(_steps_fallback()), flush=True)
