@@ -25,6 +25,7 @@ from .trainer import (  # noqa: F401
     Callback,
     CSVLogger,
     EarlyStopping,
+    OptimizerSwitch,
     Trainer,
     TrainState,
     load_params,

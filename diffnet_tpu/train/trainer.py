@@ -35,7 +35,8 @@ from ..data.loader import NumpyLoader
 
 __all__ = ["TrainState", "Trainer", "Callback", "CSVLogger",
            "TensorBoardLogger", "make_run_dir", "EarlyStopping",
-           "save_params", "load_params", "save_state", "load_state"]
+           "OptimizerSwitch", "save_params", "load_params", "save_state",
+           "load_state"]
 
 
 class TrainState(NamedTuple):
@@ -119,6 +120,42 @@ class EarlyStopping(Callback):
             self.bad_epochs += 1
             if self.bad_epochs >= self.patience:
                 trainer.should_stop = True
+
+
+class OptimizerSwitch(Callback):
+    """Switch the optimizer mid-training at a fixed epoch (the reference's
+    Adam->LBFGS pattern: OptimSwitchLBFGS, e1_ns_ldc_resmin.py:34-51, and
+    the commented two-optimizer list in e8_2d_poisson_mms.py:223-235).
+
+    `optimizer` is anything Trainer accepts: "lbfgs"/"adam"/"sgd", an
+    optax transform, or — in round_robin mode — a LIST with one spec per
+    objective (the reference swaps in [LBFGS(u), LBFGS(v), Adam(p)]).
+    The switch happens between epochs: params carry over, the optimizer
+    state is freshly initialized for the new optimizer, and the jitted
+    step is rebuilt once (one retrace, then cached for the rest of the
+    run)."""
+
+    def __init__(self, epoch: int, optimizer="lbfgs",
+                 learning_rate: float | None = None,
+                 lbfgs_max_iter: int | None = None):
+        self.switch_epoch = int(epoch)
+        self.optimizer = optimizer
+        self.learning_rate = learning_rate
+        self.lbfgs_max_iter = lbfgs_max_iter
+        self._announced = False
+
+    def on_epoch_end(self, trainer, module, state, epoch, metrics):
+        # fires after epoch index switch_epoch-1, so training RESUMES on
+        # the new optimizer exactly at epoch switch_epoch (the reference
+        # checks `current_epoch == switch_epoch` at epoch START)
+        if epoch + 1 == self.switch_epoch:
+            if not self._announced:
+                print(f"OptimizerSwitch: -> {self.optimizer} at epoch "
+                      f"{self.switch_epoch}")
+                self._announced = True
+            trainer.request_optimizer_switch(
+                self.optimizer, learning_rate=self.learning_rate,
+                lbfgs_max_iter=self.lbfgs_max_iter)
 
 
 class CSVLogger:
@@ -358,6 +395,50 @@ class Trainer:
         return lambda state, batches: jitted(
             state, batches, jnp.float32(0.5 ** self._nan_restores))
 
+    def _build_rr_steps(self, module, specs, lr, n_batches, params):
+        """Per-objective optimizers + jitted step functions (round-robin
+        mode). `specs` is either ONE spec replicated to every objective or
+        a list with one spec per objective (reference configure_optimizers
+        returning a list, e1_ns_ldc_resmin.py:335-339)."""
+        n_obj = module.num_objectives
+        if isinstance(specs, (list, tuple)):
+            if len(specs) != n_obj:
+                raise ValueError(f"{len(specs)} optimizers given for "
+                                 f"{n_obj} objectives")
+            specs = list(specs)
+        else:
+            specs = [specs] * n_obj
+        mask_hook = getattr(module, "objective_param_mask", None)
+        opts, step_fns = [], []
+        for i in range(n_obj):
+            opt_i, lb_i = _make_optimizer(
+                specs[i], lr, self.lbfgs_max_iter,
+                self.lr_milestones, self.lr_gamma,
+                steps_per_epoch=n_batches or 1)
+            mask = mask_hook(i, params) if mask_hook is not None else None
+            if mask is not None and not lb_i:
+                labels = jax.tree.map(
+                    lambda m: "train" if m else "freeze", mask)
+                opt_i = optax.multi_transform(
+                    {"train": opt_i, "freeze": optax.set_to_zero()},
+                    labels)
+                mask = None  # consumed by the transform
+            opts.append(opt_i)
+            step_fns.append(self._build_objective_step(
+                module, opt_i, i, lb_i, mask=mask))
+        return n_obj, opts, step_fns
+
+    def request_optimizer_switch(self, optimizer, learning_rate=None,
+                                 lbfgs_max_iter=None):
+        """Queue a mid-training optimizer swap; fit() applies it between
+        epochs (after the on_epoch_end callbacks — see OptimizerSwitch).
+        Params carry over; the optimizer state is re-initialized; the
+        jitted step is rebuilt once. In round_robin mode `optimizer` may
+        be a list with one spec per objective."""
+        self._pending_opt_switch = {
+            "optimizer": optimizer, "learning_rate": learning_rate,
+            "lbfgs_max_iter": lbfgs_max_iter}
+
     # -- fit --------------------------------------------------------------
     def invalidate_step_cache(self):
         """Drop the cached jitted step so the next fit() re-traces the
@@ -431,38 +512,11 @@ class Trainer:
             # cached value/grad across objective switches (ADVICE r1).
             # If the module scopes objectives to param subsets
             # (objective_param_mask), freeze the other params' updates.
-            n_obj = module.num_objectives
-            mask_hook = getattr(module, "objective_param_mask", None)
-            opts, obj_is_lbfgs, obj_masks = [], [], []
-            for i in range(n_obj):
-                if per_obj_specs is not None:
-                    if len(per_obj_specs) != n_obj:
-                        raise ValueError(
-                            f"{len(per_obj_specs)} optimizers given for "
-                            f"{n_obj} objectives")
-                    opt_i, lb_i = _make_optimizer(
-                        per_obj_specs[i], lr, self.lbfgs_max_iter,
-                        self.lr_milestones, self.lr_gamma,
-                        steps_per_epoch=n_batches or 1)
-                else:
-                    opt_i, lb_i = opt, is_lbfgs
-                mask = mask_hook(i, params) if mask_hook is not None else None
-                if mask is not None and not lb_i:
-                    labels = jax.tree.map(
-                        lambda m: "train" if m else "freeze", mask)
-                    opt_i = optax.multi_transform(
-                        {"train": opt_i, "freeze": optax.set_to_zero()},
-                        labels)
-                    mask = None  # consumed by the transform
-                opts.append(opt_i)
-                obj_is_lbfgs.append(lb_i)
-                obj_masks.append(mask)
+            n_obj, opts, step_fns = self._build_rr_steps(
+                module, per_obj_specs if per_obj_specs is not None else spec,
+                lr, n_batches, params)
             state = TrainState(params, tuple(o.init(params) for o in opts),
                                jnp.zeros((), jnp.int32))
-            step_fns = [self._build_objective_step(module, opts[i], i,
-                                                   obj_is_lbfgs[i],
-                                                   mask=obj_masks[i])
-                        for i in range(n_obj)]
             rr_counter = [0]
             # last loss PER OBJECTIVE, kept ON DEVICE — no per-step host
             # sync, no unbounded history (VERDICT r1 weak 6); converted to
@@ -611,6 +665,47 @@ class Trainer:
             self.state = state
             for cb in self.callbacks:
                 cb.on_epoch_end(self, module, state, epoch, metrics)
+            pending = getattr(self, "_pending_opt_switch", None)
+            if pending is not None:
+                # mid-training optimizer swap (reference OptimSwitchLBFGS,
+                # e1_ns_ldc_resmin.py:34-51): params carry over, optimizer
+                # state re-initialized, jitted step rebuilt once
+                self._pending_opt_switch = None
+                new_spec = pending["optimizer"]
+                new_lr = (pending["learning_rate"]
+                          if pending["learning_rate"] is not None else lr)
+                if pending["lbfgs_max_iter"] is not None:
+                    self.lbfgs_max_iter = int(pending["lbfgs_max_iter"])
+                self.optimizer_spec = new_spec
+                if pending["learning_rate"] is not None:
+                    self.learning_rate = pending["learning_rate"]
+                if self.round_robin:
+                    _, new_opts, new_fns = self._build_rr_steps(
+                        module, new_spec, new_lr, n_batches, state.params)
+                    step_fns[:] = new_fns  # step_fn closure indexes this list
+                    state = TrainState(
+                        state.params,
+                        tuple(o.init(state.params) for o in new_opts),
+                        state.step)
+                else:
+                    new_opt, new_lb = _make_optimizer(
+                        new_spec, new_lr, self.lbfgs_max_iter,
+                        self.lr_milestones, self.lr_gamma,
+                        steps_per_epoch=n_batches or 1)
+                    step_fn = self._build_step(module, new_opt, new_lb)
+                    scan_fn = None
+                    if (self.steps_per_call > 1 and not new_lb
+                            and not self.fast_dev_run):
+                        scan_fn = self._build_scan_step(module, new_opt)
+                    # refresh the cross-fit cache so a later fit() on this
+                    # module resumes on the NEW optimizer without a rebuild
+                    ck = (str(self.optimizer_spec), new_lr,
+                          self.lbfgs_max_iter, str(self.lr_milestones),
+                          self.lr_gamma, n_batches, self.steps_per_call)
+                    self._step_cache = (ck, fp, new_opt, step_fn, scan_fn)
+                    state = TrainState(state.params,
+                                       new_opt.init(state.params), state.step)
+                self.state = state
             if self.should_stop:
                 break
 

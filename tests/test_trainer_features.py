@@ -806,3 +806,91 @@ def test_round_robin_resume_continues_rotation(tmp_path):
     # observable through which step fn ran first — assert via the traced
     # order of FIRST compile calls)
     assert seen[0] == 1, seen
+
+
+def test_optimizer_switch_adam_to_lbfgs():
+    """Mid-training Adam->LBFGS swap (reference OptimSwitchLBFGS callback,
+    e1_ns_ldc_resmin.py:34-51): params carry over, the new optimizer takes
+    over exactly at switch_epoch, and LBFGS finishes the quadratic to a
+    tolerance Adam-at-lr=0.01 could not reach in the same budget."""
+    from diffnet_tpu.train.trainer import OptimizerSwitch
+
+    class Quad:
+        dataset = None
+        batch_size = 1
+        learning_rate = 0.01
+
+        class Net:
+            def init(self, rng, x):
+                return {"w": jnp.asarray(10.0)}
+
+            def apply(self, params, x):
+                return params
+
+        network = Net()
+
+        def init_params(self, rng, batch):
+            return self.network.init(rng, None)
+
+        def training_loss(self, params, batch):
+            return params["w"] ** 2
+
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+
+    ds = InMemoryDataset(np.zeros((1, 1), np.float32),
+                         np.zeros((1, 1), np.float32))
+    tr = Trainer(max_epochs=10, optimizer="adam", learning_rate=0.01,
+                 lbfgs_max_iter=5,
+                 callbacks=[OptimizerSwitch(epoch=3, optimizer="lbfgs",
+                                            lbfgs_max_iter=10)])
+    st = tr.fit(Quad(), NumpyLoader(ds, batch_size=1))
+    assert tr.optimizer_spec == "lbfgs"        # switch was applied
+    assert tr.lbfgs_max_iter == 10
+    assert abs(float(st.params["w"])) < 1e-3   # lbfgs solved the quadratic
+    # pure adam at the same budget cannot get close (step size 0.01)
+    tr2 = Trainer(max_epochs=10, optimizer="adam", learning_rate=0.01)
+    st2 = tr2.fit(Quad(), NumpyLoader(ds, batch_size=1))
+    assert abs(float(st2.params["w"])) > 1.0
+
+
+def test_optimizer_switch_round_robin_list():
+    """Round-robin switch to a per-objective optimizer LIST (the reference
+    swaps in [LBFGS(u), LBFGS(v), Adam(p)], e1_ns_ldc_resmin.py:40-49)."""
+    from diffnet_tpu.train.trainer import OptimizerSwitch
+
+    class TwoObjective:
+        num_objectives = 2
+        dataset = None
+        batch_size = 1
+        learning_rate = 0.05
+
+        class Net:
+            def init(self, rng, x):
+                return {"a": jnp.ones(()), "b": jnp.ones(())}
+
+            def apply(self, params, x):
+                return params
+
+        network = Net()
+
+        def init_params(self, rng, batch):
+            return self.network.init(rng, None)
+
+        def objective_loss(self, idx, params, batch):
+            if idx == 0:
+                return (params["a"] - 3.0) ** 2
+            return (params["b"] + 2.0) ** 2
+
+    from diffnet_tpu.data.loader import InMemoryDataset, NumpyLoader
+
+    ds = InMemoryDataset(np.zeros((2, 1), np.float32),
+                         np.zeros((2, 1), np.float32))
+    tr = Trainer(max_epochs=30, optimizer="adam", learning_rate=0.05,
+                 round_robin=True, lbfgs_max_iter=5,
+                 callbacks=[OptimizerSwitch(epoch=5,
+                                            optimizer=["lbfgs", "adam"])])
+    st = tr.fit(TwoObjective(), NumpyLoader(ds, batch_size=1))
+    # lbfgs objective converges tight; adam objective keeps improving
+    # (one adam step per epoch at lr=0.05: from 1.0 well past 0 toward -2)
+    assert abs(float(st.params["a"]) - 3.0) < 1e-3
+    assert float(st.params["b"]) < -0.2
