@@ -94,11 +94,17 @@ def _energy_xla(u, nu, f, basis):
     return jnp.mean(jnp.sum(res, axis=-1))
 
 
-@pytest.mark.parametrize("n,tile", [(33, 16), (40, 16), (65, 64)])
-def test_energy_fused_matches_xla(n, tile):
+@pytest.mark.parametrize("n,tile,h", [
+    (33, 16, None), (40, 16, None), (65, 64, None),
+    # anisotropic h: pins the per-axis factorized constants (c1x vs c1y)
+    # against an hx/hy swap in _build_tables_energy (ADVICE r4)
+    (33, 16, "aniso"),
+])
+def test_energy_fused_matches_xla(n, tile, h):
     import diffnet_tpu.ops.poisson_energy as pe
 
-    basis = make_basis(2, 1, h=(1 / (n - 1),) * 2)
+    hs = (0.7 / (n - 1), 1.9 / (n - 1)) if h == "aniso" else (1 / (n - 1),) * 2
+    basis = make_basis(2, 1, h=hs)
     rng = np.random.default_rng(3)
     u = jnp.asarray(rng.random((2, n, n)), jnp.float32)
     nu = jnp.asarray(rng.random((2, n, n)), jnp.float32)
