@@ -22,12 +22,16 @@ Forcing is passed as NODAL fields (interpolated at Gauss points through the
 same Q1 basis — exact to the discretization order); `None` means zero
 (the LDC case).
 
-Differentiable via custom VJP: the forward runs the fused kernel, the
-backward differentiates the mathematically-identical XLA path
-(:func:`ns_vms_residual_xla`) — the VMS residual is nonlinear, so a
-hand-derived in-kernel adjoint would buy little over XLA's own fused
-backward here, and this keeps gradients bit-comparable with the
-production path (advective field detached inside tau, both paths).
+Differentiable via custom JVP (round 5; was custom VJP): the primal runs
+the fused kernel, the tangent rule is ``jax.jvp`` through the
+mathematically-identical XLA path (:func:`ns_vms_residual_xla`), and
+reverse mode is JAX's transposition of that tangent. This makes BOTH
+forward-mode (Newton-Krylov Jacobian actions,
+``train.linear.ns_newton_solve``) and reverse-mode (training) work —
+the VMS residual is nonlinear, so a hand-derived in-kernel adjoint would
+buy little over XLA's own fused tangent here, and this keeps gradients
+bit-comparable with the production path (advective field detached inside
+tau, both paths).
 
 STATUS: interpret-mode validated against the XLA path (values and VJP —
 tests/test_pallas_kernel.py). On-chip (round 3-4): the blockspec variant
@@ -406,7 +410,6 @@ def _ns_fwd_impl(u, v, p, fx, fy, basis: FEMBasis, visco: float,
     return R1[:, :n], R2[:, :n], R3[:, :n]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def ns_vms_residual_fused(u, v, p, fx, fy, basis: FEMBasis, visco: float,
                           tile_y: int = 128, variant: str = "dma"):
     """(R1, R2, R3) = assembled VMS Navier-Stokes residuals of nodal
@@ -414,7 +417,16 @@ def ns_vms_residual_fused(u, v, p, fx, fy, basis: FEMBasis, visco: float,
 
     Matches :func:`ns_vms_residual_xla` (and hence the production
     `StokesNSBase.calc_residuals` NS branch) to round-off; pinned by
-    tests."""
+    tests.
+
+    Differentiable in BOTH modes: the primal runs the fused kernel; the
+    tangent rule is ``jax.jvp`` through the mathematically-identical XLA
+    path (custom_jvp), so forward-mode works — which is what
+    :func:`train.linear.ns_newton_solve` needs for its Jacobian action
+    (VERDICT r4 #4: custom_vjp made ``fused_kernels=True`` +
+    Newton-Krylov a trace-time TypeError). Reverse-mode is JAX's
+    transposition of that XLA tangent — same cost class as the previous
+    explicit custom_vjp-through-XLA backward."""
     for name, arr in (("v", v), ("p", p), ("fx", fx), ("fy", fy)):
         if arr is not None and arr.shape != u.shape:
             # XLA paths broadcast; the kernel DMAs by u's batch/rows and
@@ -426,24 +438,37 @@ def ns_vms_residual_fused(u, v, p, fx, fy, basis: FEMBasis, visco: float,
         # tau = 1/sqrt(...) is inf on the kernel's zero-padded halo rows
         # at visco = 0, and inf * 0 masking turns boundary rows into NaN
         raise ValueError(f"visco must be > 0, got {visco}")
+    # None-forcing is routed to a separate custom_jvp primitive: None is
+    # not a differentiable operand, and custom_jvp (unlike the plain call)
+    # cannot carry optional array arguments
+    if fx is None:
+        return _fused_nof(u, v, p, basis, visco, tile_y, variant)
+    return _fused_f(u, v, p, fx, fy, basis, visco, tile_y, variant)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5, 6))
+def _fused_nof(u, v, p, basis, visco, tile_y, variant):
+    return _ns_fwd_impl(u, v, p, None, None, basis, visco, tile_y, variant)
+
+
+@_fused_nof.defjvp
+def _fused_nof_jvp(basis, visco, tile_y, variant, primals, tangents):
+    primal_out = _ns_fwd_impl(*primals, None, None, basis, visco, tile_y,
+                              variant)
+    _, tangent_out = jax.jvp(
+        lambda u, v, p: ns_vms_residual_xla(u, v, p, None, None, basis,
+                                            visco), primals, tangents)
+    return primal_out, tangent_out
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_f(u, v, p, fx, fy, basis, visco, tile_y, variant):
     return _ns_fwd_impl(u, v, p, fx, fy, basis, visco, tile_y, variant)
 
 
-def _fwd(u, v, p, fx, fy, basis, visco, tile_y, variant):
-    return (_ns_fwd_impl(u, v, p, fx, fy, basis, visco, tile_y, variant),
-            (u, v, p, fx, fy))
-
-
-def _bwd(basis, visco, tile_y, variant, res, g):
-    u, v, p, fx, fy = res
-    if fx is None:
-        _, vjp = jax.vjp(
-            lambda u, v, p: ns_vms_residual_xla(u, v, p, None, None, basis,
-                                                visco), u, v, p)
-        return vjp(g) + (None, None)
-    _, vjp = jax.vjp(
-        lambda *a: ns_vms_residual_xla(*a, basis, visco), u, v, p, fx, fy)
-    return vjp(g)
-
-
-ns_vms_residual_fused.defvjp(_fwd, _bwd)
+@_fused_f.defjvp
+def _fused_f_jvp(basis, visco, tile_y, variant, primals, tangents):
+    primal_out = _ns_fwd_impl(*primals, basis, visco, tile_y, variant)
+    _, tangent_out = jax.jvp(
+        lambda *a: ns_vms_residual_xla(*a, basis, visco), primals, tangents)
+    return primal_out, tangent_out

@@ -74,9 +74,14 @@ class StokesNSBase(FEM2DModule):
         # Opt-in fused Pallas VMS kernel (ops/ns_residual.py): all 13 GP
         # quantities + stabilization + 3-residual assembly in one HBM pass.
         # NS-only, deg-1 2x2-GP, zero body forcing (the LDC/FPC configs).
-        # Default OFF: on-chip it is ~2x the XLA residual for the forward
-        # pass, but the custom-VJP backward re-runs the XLA path, so full
-        # training steps favor the default — see BENCH_MEASURED.md.
+        # Differentiable both ways (custom_jvp, round 5): forward-mode
+        # Newton-Krylov (train.linear.ns_newton_solve) and reverse-mode
+        # training both work; the tangent/adjoint run the XLA path.
+        # Default OFF for TRAINING: on-chip the kernel is ~2x the XLA
+        # residual forward, but the backward re-runs the XLA tangent, so
+        # full training steps favor the default — see BENCH_MEASURED.md.
+        # For Newton/Krylov SOLVES the kernel accelerates every Jacobian
+        # action's primal re-evaluation.
         self.fused_kernels = bool(kwargs.get("fused_kernels", False))
         self.fused_variant = str(kwargs.get("fused_variant", "dma"))
         if self.fused_variant not in ("dma", "blockspec"):
