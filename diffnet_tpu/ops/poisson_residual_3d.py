@@ -64,7 +64,8 @@ def _build_tables_3d(basis: FEMBasis):
     return cN_l, W / hx**2, W / hy**2, W / hz**2
 
 
-def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TZ, n, nel):
+def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TZ, n, nel,
+            nelz):
     b = pl.program_id(0)
     t = pl.program_id(1)
 
@@ -84,10 +85,10 @@ def _kernel(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TZ, n, nel):
     # the TZ byte-guard in the fwd wrappers keeps the ~28 live slab
     # temporaries inside the 16 MB scoped-VMEM budget
     _slab_assemble(u_s[0:TZ + 2, :n, :n], nu_s[0:TZ + 2, :n, :n],
-                   out_ref, row0, tables, TZ, n, nel)
+                   out_ref, row0, tables, TZ, n, nel, nelz)
 
 
-def _kernel3d_bs(u_ref, nu_ref, out_ref, *, tables, TZ, n, nel):
+def _kernel3d_bs(u_ref, nu_ref, out_ref, *, tables, TZ, n, nel, nelz):
     """BlockSpec-only 3D variant (see the 2D `_kernel_bs`): whole padded
     input volume per program via the automatic pipeline (constant index
     map along the z-tile grid axis, so it is fetched once per batch), the
@@ -107,10 +108,11 @@ def _kernel3d_bs(u_ref, nu_ref, out_ref, *, tables, TZ, n, nel):
     # traced bounds are rejected by the ref indexer
     _slab_assemble(u_ref[0, pl.ds(row0, TZ + 2), :n, :n],
                    nu_ref[0, pl.ds(row0, TZ + 2), :n, :n],
-                   out_ref, row0, tables, TZ, n, nel)
+                   out_ref, row0, tables, TZ, n, nel, nelz)
 
 
-def _slab_assemble(uslab, nuslab, out_ref, row0, tables, TZ, n, nel):
+def _slab_assemble(uslab, nuslab, out_ref, row0, tables, TZ, n, nel,
+                   nelz=None):
     """Slab-vectorized sum-factorized assembly for one z-tile.
 
     ``uslab``/``nuslab`` are (TZ+2, n, n) node slabs covering padded
@@ -122,8 +124,12 @@ def _slab_assemble(uslab, nuslab, out_ref, row0, tables, TZ, n, nel):
     are (TZ+1, nel, nel) slab elementwise passes (z-vectorized; the
     earlier serial per-layer loop under-filled the VPU with (nel, nel)
     planes). Out-of-domain element layers at the domain edges are masked
-    with an iota validity slab."""
+    with an iota validity slab. ``nelz`` is the z element count for
+    rectangular volumes (nz != ny = nx, e.g. z-sharded slabs —
+    parallel/spatial.py); defaults to the cubic case."""
     cN, wx2, wy2, wz2 = tables
+    if nelz is None:
+        nelz = nel
 
     def cv(s, k, j, i):
         return s[k:k + TZ + 1, j:j + nel, i:i + nel]
@@ -135,7 +141,7 @@ def _slab_assemble(uslab, nuslab, out_ref, row0, tables, TZ, n, nel):
 
     lay = jax.lax.broadcasted_iota(jnp.int32, (TZ + 1, nel, nel), 0)
     glob = row0 + lay - 1
-    valid = jnp.logical_and(glob >= 0, glob < nel).astype(uslab.dtype)
+    valid = jnp.logical_and(glob >= 0, glob < nelz).astype(uslab.dtype)
 
     def part(D, S, scale):
         # per Gauss pair (ga, gb): collapsed derivative and nu-sum
@@ -188,24 +194,30 @@ def _stiffness3d_fwd_bs(u, nu, basis: FEMBasis, tile_z: int = 8):
     tile axis), out block one z-slab. VMEM: ~2*(u+nu) double-buffered +
     2 slab out blocks + slab temporaries — ~12 MB at 64^3 f32 (the
     reference's 3D scale); guarded to n <= 64."""
-    B, n, _, _ = u.shape
-    if n > 64:
+    # rectangular-in-z volumes (nz != ny = nx) supported for the z-sharded
+    # spatial path (parallel/spatial.py); y and x must be square
+    B, nz, n, nx = u.shape
+    if n != nx:
+        raise ValueError(f"3D kernel needs ny == nx, got {(n, nx)}")
+    if max(nz, n) > 64:
         raise ValueError(
-            f"3D blockspec variant holds the full volume in VMEM; n={n} > "
-            "64 would overflow — use variant='dma' or the XLA path")
+            f"3D blockspec variant holds the full volume in VMEM; "
+            f"shape {(nz, n, n)} > 64^3 would overflow — use "
+            "variant='dma' or the XLA path")
     nel = n - 1
-    TZ = min(tile_z, -(-n // 8) * 8)
-    assert TZ % 8 == 0 or TZ == n, "tile_z must be a multiple of 8"
-    ntiles = -(-n // TZ)
+    TZ = min(tile_z, -(-nz // 8) * 8)
+    assert TZ % 8 == 0 or TZ == nz, "tile_z must be a multiple of 8"
+    ntiles = -(-nz // TZ)
     pad_z = -(-(ntiles * TZ + 2) // 8) * 8
     CP = n if n % 8 == 0 else -(-n // 8) * 8
-    cfg = ((0, 0), (1, pad_z - n - 1), (0, 0), (0, CP - n))
+    cfg = ((0, 0), (1, pad_z - nz - 1), (0, 0), (0, CP - n))
     u_p = jnp.pad(u, cfg)
     nu_p = jnp.pad(nu, cfg)
     tables = _build_tables_3d(basis)
 
     out = pl.pallas_call(
-        partial(_kernel3d_bs, tables=tables, TZ=TZ, n=n, nel=nel),
+        partial(_kernel3d_bs, tables=tables, TZ=TZ, n=n, nel=nel,
+                nelz=nz - 1),
         grid=(B, ntiles),
         in_specs=[
             pl.BlockSpec((1, pad_z, n, CP), lambda b, t: (b, 0, 0, 0)),
@@ -215,11 +227,11 @@ def _stiffness3d_fwd_bs(u, nu, basis: FEMBasis, tile_z: int = 8):
                                lambda b, t: (b, t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, ntiles * TZ, n, n), u.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=int(800 * B * nel**3),
-            bytes_accessed=int(3 * 4 * B * n**3),
+            flops=int(800 * B * (nz - 1) * nel**2),
+            bytes_accessed=int(3 * 4 * B * nz * n**2),
             transcendentals=0),
     )(u_p, nu_p)
-    return out[:, :n]
+    return out[:, :nz]
 
 
 def _stiffness3d_fwd_impl(u, nu, basis: FEMBasis, tile_z: int = 8,
@@ -229,24 +241,26 @@ def _stiffness3d_fwd_impl(u, nu, basis: FEMBasis, tile_z: int = 8,
     if variant != "dma":
         raise ValueError(f"unknown kernel variant {variant!r} "
                          "(expected 'dma' or 'blockspec')")
-    B, n, _, _ = u.shape
+    B, nz, n, nx = u.shape
+    if n != nx:
+        raise ValueError(f"3D kernel needs ny == nx, got {(n, nx)}")
     nel = n - 1
-    TZ = min(tile_z, -(-n // 8) * 8)
+    TZ = min(tile_z, -(-nz // 8) * 8)
     CP = -(-n // 128) * 128
     # slab-vectorized body: ~20 live (TZ+1, n, CP) f32 temporaries; shrink
     # the z-tile until they fit the scoped-VMEM budget (z is a pure major
     # dim — no sublane alignment constraint, unlike the 2D TY)
     while TZ > 1 and 20 * (TZ + 1) * n * CP * 4 > 11 * 2**20:
         TZ //= 2
-    ntiles = -(-n // TZ)
+    ntiles = -(-nz // TZ)
     pad_z = ntiles * TZ + 8
-    cfg = ((0, 0), (1, pad_z - n - 1), (0, 0), (0, CP - n))
+    cfg = ((0, 0), (1, pad_z - nz - 1), (0, 0), (0, CP - n))
     u_p = jnp.pad(u, cfg)
     nu_p = jnp.pad(nu, cfg)
     tables = _build_tables_3d(basis)
 
     out = pl.pallas_call(
-        partial(_kernel, tables=tables, TZ=TZ, n=n, nel=nel),
+        partial(_kernel, tables=tables, TZ=TZ, n=n, nel=nel, nelz=nz - 1),
         grid=(B, ntiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -261,17 +275,18 @@ def _stiffness3d_fwd_impl(u, nu, basis: FEMBasis, tile_z: int = 8,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=int(800 * B * nel**3),
-            bytes_accessed=int(3 * 4 * B * n**3),
+            flops=int(800 * B * (nz - 1) * nel**2),
+            bytes_accessed=int(3 * 4 * B * nz * n**2),
             transcendentals=0),
     )(u_p, nu_p)
-    return out[:, :n]
+    return out[:, :nz]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def poisson_stiffness_action_3d(u, nu, basis: FEMBasis, tile_z: int = 8,
                                 variant: str = "dma"):
-    """Ku = assembled ∫ nu grad(N_i)·grad(u): [B, n, n, n] -> same."""
+    """Ku = assembled ∫ nu grad(N_i)·grad(u): [B, nz, n, n] -> same
+    (rectangular-in-z supported; ny == nx required)."""
     return _stiffness3d_fwd_impl(u, nu, basis, tile_z, variant)
 
 

@@ -76,27 +76,40 @@ def spatial_sharding(mesh: Mesh, ndim: int, y_axis: int) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def halo_exchange_y(x: jax.Array, axis_name: str = "space",
-                    halo: int = 1) -> jax.Array:
-    """Explicit halo exchange along the sharded y axis for use inside
+def _halo_exchange(x: jax.Array, axis_name: str, halo: int,
+                   axis: int) -> jax.Array:
+    """Explicit halo exchange along one sharded spatial axis for use inside
     shard_map-based kernels (the Pallas path): pad each local block with
-    `halo` rows from its +y / -y neighbors via ppermute.
+    `halo` slices from its +/- neighbors via ppermute.
 
-    x: local block [..., y_local, x]; returns [..., y_local + 2*halo, x]
-    (edge shards zero-pad the outer side, matching 'no element spans the
-    global boundary' semantics)."""
+    Returns x grown by 2*halo along `axis` (edge shards zero-pad the outer
+    side, matching 'no element spans the global boundary' semantics)."""
     import jax.numpy as jnp
 
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
-    top = x[..., :halo, :]      # rows to send to -y neighbor
-    bot = x[..., -halo:, :]     # rows to send to +y neighbor
-    # receive from -y neighbor (their bottom rows) and +y neighbor (top rows)
-    from_prev = jax.lax.ppermute(bot, axis_name,
+    lo = jax.lax.slice_in_dim(x, 0, halo, axis=axis)    # to -axis neighbor
+    hi = jax.lax.slice_in_dim(x, x.shape[axis] - halo, x.shape[axis],
+                              axis=axis)                # to +axis neighbor
+    from_prev = jax.lax.ppermute(hi, axis_name,
                                  [(i, (i + 1) % n) for i in range(n)])
-    from_next = jax.lax.ppermute(top, axis_name,
+    from_next = jax.lax.ppermute(lo, axis_name,
                                  [(i, (i - 1) % n) for i in range(n)])
-    zero = jnp.zeros_like(top)
+    zero = jnp.zeros_like(lo)
     from_prev = jnp.where(idx == 0, zero, from_prev)
     from_next = jnp.where(idx == n - 1, zero, from_next)
-    return jnp.concatenate([from_prev, x, from_next], axis=-2)
+    return jnp.concatenate([from_prev, x, from_next], axis=axis)
+
+
+def halo_exchange_y(x: jax.Array, axis_name: str = "space",
+                    halo: int = 1) -> jax.Array:
+    """Halo exchange along the sharded y (rows, axis -2) axis:
+    [..., y_local, x] -> [..., y_local + 2*halo, x]."""
+    return _halo_exchange(x, axis_name, halo, x.ndim - 2)
+
+
+def halo_exchange_z(x: jax.Array, axis_name: str = "space",
+                    halo: int = 1) -> jax.Array:
+    """Halo exchange along the sharded z (depth, axis -3) axis:
+    [..., z_local, y, x] -> [..., z_local + 2*halo, y, x]."""
+    return _halo_exchange(x, axis_name, halo, x.ndim - 3)

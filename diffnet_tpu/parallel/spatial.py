@@ -29,7 +29,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..core import fem
 from ..core.quadrature import FEMBasis
 
-__all__ = ["poisson_residual_spatial", "poisson_stiffness_spatial_fused"]
+__all__ = ["poisson_residual_spatial", "poisson_stiffness_spatial_fused",
+           "poisson_stiffness_spatial_fused_3d"]
 
 
 def _local_contrib(u_halo, nu_halo, basis, shard_idx, n_shards, nel_rows_loc):
@@ -144,4 +145,64 @@ def poisson_stiffness_spatial_fused(u, nu, basis: FEMBasis, mesh,
         in_specs=(P(None, axis_name, None), P(None, axis_name, None)),
         out_specs=P(None, axis_name, None), check_rep=False)
     spec = NamedSharding(mesh, P(None, axis_name, None))
+    return fn(jax.device_put(u, spec), jax.device_put(nu, spec))
+
+
+def poisson_stiffness_spatial_fused_3d(u, nu, basis: FEMBasis, mesh,
+                                       axis_name: str = "space",
+                                       variant: str = "dma",
+                                       tile_z: int = 8):
+    """3D counterpart of :func:`poisson_stiffness_spatial_fused`: the fused
+    3D Pallas stiffness kernel (ops/poisson_residual_3d.py) composed with
+    an explicit DEPTH-axis halo exchange (VERDICT r4 #8; reference 3D
+    parallel workload IBN/poisson-3d/parametric/IBN_3D.py:193-199).
+
+    Per shard: one ppermute halo node PLANE each way
+    (mesh.halo_exchange_z), the rectangular-in-z fused kernel over the
+    (nz_loc + 2)-plane slab, keep own node planes. The kernel assembles
+    ALL slab element layers, so the two DOMAIN-EDGE shards see one phantom
+    element layer spanning the zero-filled outer halo; its (nonzero: nu
+    interpolates from the real plane) contribution to the kept edge node
+    plane is recomputed with the XLA element path on the 2-plane slab and
+    subtracted — O(1/nz_loc) extra work, exact equality with the unsharded
+    kernel (pinned by tests/test_parallel.py).
+
+    u, nu: [B, nz, ny, nx] with nz divisible by the 'space' axis size and
+    ny == nx.
+    """
+    from ..ops import poisson_stiffness_action_3d
+    from .mesh import halo_exchange_z
+
+    nz = u.shape[-3]
+    S = mesh.shape[axis_name]
+    assert nz % S == 0, f"planes {nz} not divisible by space={S}"
+
+    def slab_R(ub, nub):
+        gp = fem.gp_eval(ub, basis, ("dx", "dy", "dz"))
+        nug = fem.gp_eval(nub, basis, ("N",))["N"]
+        return fem.galerkin_project_multi(
+            [(nug * gp["dx"], "dx"), (nug * gp["dy"], "dy"),
+             (nug * gp["dz"], "dz")], basis, ub.shape[-3:])
+
+    def local_fn(u_loc, nu_loc):
+        idx = jax.lax.axis_index(axis_name)
+        ub = halo_exchange_z(u_loc, axis_name, 1)
+        nub = halo_exchange_z(nu_loc, axis_name, 1)
+        R = poisson_stiffness_action_3d(ub, nub, basis, tile_z, variant)
+        # phantom-element-layer corrections at the domain edges (halo
+        # zero-fill)
+        first = (idx == 0).astype(R.dtype)
+        last = (idx == S - 1).astype(R.dtype)
+        Rt = slab_R(ub[:, 0:2], nub[:, 0:2])
+        Rb = slab_R(ub[:, -2:], nub[:, -2:])
+        R = R.at[:, 1].add(-first * Rt[:, 1])
+        R = R.at[:, -2].add(-last * Rb[:, 0])
+        return R[:, 1:-1]
+
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, axis_name, None, None),
+                  P(None, axis_name, None, None)),
+        out_specs=P(None, axis_name, None, None), check_rep=False)
+    spec = NamedSharding(mesh, P(None, axis_name, None, None))
     return fn(jax.device_put(u, spec), jax.device_put(nu, spec))

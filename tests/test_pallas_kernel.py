@@ -536,3 +536,44 @@ def test_spatial_shard_map_fused_equals_unsharded():
     K4 = poisson_stiffness_spatial_fused(u, nu, basis, mesh,
                                          variant="blockspec", tile_y=16)
     np.testing.assert_allclose(np.asarray(K4), np.asarray(K1), atol=2e-6)
+
+
+def test_stiffness3d_rectangular_z():
+    """Rectangular-in-z volumes (nz != ny = nx): what the z-sharded
+    spatial path feeds the kernel (round 5; the kernel assumed cubic)."""
+    from diffnet_tpu.ops.poisson_residual_3d import _stiffness3d_fwd_impl
+
+    nz, n = 10, 17
+    basis = make_basis(3, 1, h=(1 / (n - 1),) * 3)
+    rng = np.random.default_rng(13)
+    u = jnp.asarray(rng.random((2, nz, n, n)), jnp.float32)
+    nu = jnp.asarray(rng.random((2, nz, n, n)), jnp.float32)
+    gp = fem.gp_eval(u, basis, ("dx", "dy", "dz"))
+    nug = fem.gp_eval(nu, basis, ("N",))["N"]
+    Kx = sum(fem.galerkin_project(nug * gp[d], basis, d, (nz, n, n))
+             for d in ("dx", "dy", "dz"))
+    for variant in ("dma", "blockspec"):
+        Kp = _stiffness3d_fwd_impl(u, nu, basis, 8, variant)
+        np.testing.assert_allclose(np.asarray(Kp), np.asarray(Kx),
+                                   atol=2e-6)
+
+
+def test_spatial_shard_map_fused_3d_equals_unsharded():
+    """3D Pallas kernel under shard_map with explicit DEPTH-axis ppermute
+    halo exchange (poisson_stiffness_spatial_fused_3d) == the unsharded
+    kernel, on the virtual 8-device mesh (VERDICT r4 #8)."""
+    from diffnet_tpu.ops.poisson_residual_3d import _stiffness3d_fwd_impl
+    from diffnet_tpu.parallel.mesh import make_mesh
+    from diffnet_tpu.parallel.spatial import (
+        poisson_stiffness_spatial_fused_3d)
+
+    n = 16
+    basis = make_basis(3, 1, h=(1.0 / (n - 1),) * 3)
+    rng = np.random.default_rng(14)
+    u = jnp.asarray(rng.random((2, n, n, n)), jnp.float32)
+    nu = jnp.asarray(rng.random((2, n, n, n)), jnp.float32)
+    K1 = _stiffness3d_fwd_impl(u, nu, basis, 8, "blockspec")
+    mesh = make_mesh(space=4)
+    K4 = poisson_stiffness_spatial_fused_3d(u, nu, basis, mesh,
+                                            variant="blockspec", tile_z=8)
+    np.testing.assert_allclose(np.asarray(K4), np.asarray(K1), atol=2e-6)
