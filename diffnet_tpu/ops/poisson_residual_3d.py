@@ -188,6 +188,209 @@ def _slab_assemble(uslab, nuslab, out_ref, row0, tables, TZ, n, nel,
             out_ref[0, :, ysl, xsl] = out_ref[0, :, ysl, xsl] + az
 
 
+def _slab_assemble_folded(uf, nf, row0, tables, TZ, NP, n, nel, nelz):
+    """FOLDED-Z slab body (round 5, VERDICT r4 #3): (z, y) collapsed into
+    ONE row axis (row r = z*NP + y, NP = 8-padded node-y extent), so every
+    array in the body is RANK-2 — the exact regime where the 2D kernel
+    body achieves ~6.1e11 vector-ops/s vs this file's rank-3 slab body at
+    ~1.5e11. The rank-3 body's diagnosed limiters disappear structurally:
+
+    * the 8 corner windows ``s[k:, j:, i:]`` (doubly-misaligned: sublane
+      AND lane offsets on odd (nel, nel) minor dims) become plain ROW
+      slices of six precomputed full-slab difference/sum arrays
+      (``dx/sx/dy/sy/dz/sz`` — one adjacent-diff op each; a corner view is
+      then ``arr[k*NP + j + r]``, a sublane shift only);
+    * the 4 read-modify-write stores into misaligned rank-3 out windows
+      become the 2D kernel's pattern: value-level pads + ONE aligned
+      store.
+
+    Algebra is identical to `_slab_assemble` (same `part`, same masks) —
+    only the index bijection changed; garbage rows (y >= nel element rows,
+    y-pad rows) are zeroed by the validity mask before assembly.
+
+    ``uf``/``nf``: ((TZ+3)*NP, >=nel+1) folded node slabs covering padded
+    planes [row0, row0+TZ+3) (the +3rd plane is read by the full-slab
+    diffs but never reaches a valid element — it must merely exist).
+    Returns the (TZ*NP, n) folded output-node value.
+    """
+    cN, wx2, wy2, wz2 = tables
+    M = (TZ + 1) * NP
+
+    # full-slab adjacent differences/sums: ONE op each; every corner view
+    # below is a pure row-offset slice of these
+    dxf = uf[:, 1:nel + 1] - uf[:, :nel]
+    sxf = nf[:, 1:nel + 1] + nf[:, :nel]
+    dyf = uf[1:] - uf[:-1]
+    syf = nf[1:] + nf[:-1]
+    dzf = uf[NP:] - uf[:-NP]
+    szf = nf[NP:] + nf[:-NP]
+
+    def part(D, S, scale):
+        t = {}
+        for ga in (0, 1):
+            for gb in (0, 1):
+                cc = [[cN[ga][a_] * cN[gb][b_] for b_ in (0, 1)]
+                      for a_ in (0, 1)]
+                du = (cc[0][0] * D[0][0] + cc[0][1] * D[0][1]
+                      + cc[1][0] * D[1][0] + cc[1][1] * D[1][1])
+                A = (cc[0][0] * S[0][0] + cc[0][1] * S[0][1]
+                     + cc[1][0] * S[1][0] + cc[1][1] * S[1][1])
+                t[ga, gb] = du * A
+        return [[scale * sum(cN[ga][ab] * cN[gb][bb] * t[ga, gb]
+                             for ga in (0, 1) for gb in (0, 1))
+                 for bb in (0, 1)] for ab in (0, 1)]
+
+    # corner views: element folded row r = z*NP + y; corner (k, j, i)
+    # lives at folded row r + k*NP + j, col x + i
+    DX = [[dxf[k * NP + j: k * NP + j + M] for j in (0, 1)] for k in (0, 1)]
+    SX = [[sxf[k * NP + j: k * NP + j + M] for j in (0, 1)] for k in (0, 1)]
+    px = part(DX, SX, wx2)   # px[kb][jb]
+    DY = [[dyf[k * NP: k * NP + M, i: i + nel] for i in (0, 1)]
+          for k in (0, 1)]
+    SY = [[syf[k * NP: k * NP + M, i: i + nel] for i in (0, 1)]
+          for k in (0, 1)]
+    py = part(DY, SY, wy2)   # py[kb][ib]
+    DZ = [[dzf[j: j + M, i: i + nel] for i in (0, 1)] for j in (0, 1)]
+    SZ = [[szf[j: j + M, i: i + nel] for i in (0, 1)] for j in (0, 1)]
+    pz = part(DZ, SZ, wz2)   # pz[jb][ib]
+
+    # validity: real element layer in range AND y inside the element rows
+    r = jax.lax.broadcasted_iota(jnp.int32, (M, nel), 0)
+    zloc = r // NP
+    glob = row0 + zloc - 1
+    valid = jnp.logical_and(
+        jnp.logical_and(glob >= 0, glob < nelz),
+        (r - zloc * NP) < nel).astype(uf.dtype)
+
+    # assembly: out node row R = z*NP + y receives, per (kbf, jb, ib),
+    # element row R + (1-kbf)*NP - jb — the z- and y-shifts collapse into
+    # ONE row slice per term (no rank-3 windows, no RMW)
+    sgn = (-1.0, 1.0)
+    TZn = TZ * NP
+    sides = []
+    for ib in (0, 1):
+        acc = None
+        for jb in (0, 1):
+            lo = valid * (sgn[ib] * px[0][jb] + sgn[jb] * py[0][ib]
+                          - pz[jb][ib])                     # kbf = 0
+            hi = valid * (sgn[ib] * px[1][jb] + sgn[jb] * py[1][ib]
+                          + pz[jb][ib])                     # kbf = 1
+            term = lo[NP - jb: NP - jb + TZn]
+            if jb == 0:
+                term = term + hi[:TZn]
+            else:
+                term = term + jnp.pad(hi[:TZn - 1], ((1, 0), (0, 0)))
+            acc = term if acc is None else acc + term
+        sides.append(acc)
+    left, right = sides                                     # (TZn, nel)
+    return (jnp.pad(left, ((0, 0), (0, n - nel)))
+            + jnp.pad(right, ((0, 0), (1, n - nel - 1))))
+
+
+def _kernel_folded(u_hbm, nu_hbm, out_ref, u_s, nu_s, sems, *, tables, TZ,
+                   NP, n, nel, nelz):
+    """Manual-DMA wrapper for the folded body: inputs arrive PRE-FOLDED
+    from the host ((B, pad_z*NP, CP) — jnp.reshape outside the kernel, a
+    free layout-preserving collapse), so the kernel never reshapes; the
+    slab copy is a single row-range DMA and the out store one aligned
+    block assignment."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    row0 = t * TZ
+    cp_u = pltpu.make_async_copy(
+        u_hbm.at[b, pl.ds(row0 * NP, (TZ + 3) * NP)], u_s, sems.at[0])
+    cp_nu = pltpu.make_async_copy(
+        nu_hbm.at[b, pl.ds(row0 * NP, (TZ + 3) * NP)], nu_s, sems.at[1])
+    cp_u.start()
+    cp_nu.start()
+    cp_u.wait()
+    cp_nu.wait()
+    out_ref[0] = _slab_assemble_folded(u_s[...], nu_s[...], row0, tables,
+                                       TZ, NP, n, nel, nelz)
+
+
+def _kernel3d_bsf(u_ref, nu_ref, out_ref, *, tables, TZ, NP, n, nel, nelz):
+    """BlockSpec-only wrapper for the folded body (pre-folded inputs as in
+    `_kernel_folded`; whole folded volume per program, constant index map
+    along the z-tile axis)."""
+    t = pl.program_id(1)
+    row0 = t * TZ
+    out_ref[0] = _slab_assemble_folded(
+        u_ref[0, pl.ds(row0 * NP, (TZ + 3) * NP)],
+        nu_ref[0, pl.ds(row0 * NP, (TZ + 3) * NP)],
+        row0, tables, TZ, NP, n, nel, nelz)
+
+
+def _stiffness3d_fwd_folded(u, nu, basis: FEMBasis, tile_z: int = 8,
+                            variant: str = "dmaf"):
+    """Forward pass through the folded-z body ('dmaf' manual-DMA /
+    'bsf' blockspec). Host side: pad y to the 8-aligned NP and x to CP,
+    fold (z, y) -> rows with jnp.reshape (layout-preserving), unfold the
+    result the same way."""
+    B, nz, ny, nx = u.shape
+    if ny != nx:
+        raise ValueError(f"3D kernel needs ny == nx, got {(ny, nx)}")
+    n = ny
+    nel = n - 1
+    NP = -(-n // 8) * 8
+    CP = -(-n // 128) * 128 if variant == "dmaf" else NP
+    TZ = min(tile_z, -(-nz // 8) * 8)
+    # folded body live set: ~26 (M, CP) f32 slab temporaries
+    while TZ > 1 and 26 * (TZ + 2) * NP * CP * 4 > 11 * 2**20:
+        TZ //= 2
+    ntiles = -(-nz // TZ)
+    pad_z = ntiles * TZ + 3
+    if variant == "bsf" and max(nz, n) > 64:
+        raise ValueError(
+            f"3D bsf variant holds the full volume in VMEM; "
+            f"shape {(nz, ny, nx)} > 64^3 would overflow — use "
+            "variant='dmaf' or the XLA path")
+    cfg = ((0, 0), (1, pad_z - nz - 1), (0, NP - n), (0, CP - n))
+    u_f = jnp.pad(u, cfg).reshape(B, pad_z * NP, CP)
+    nu_f = jnp.pad(nu, cfg).reshape(B, pad_z * NP, CP)
+    tables = _build_tables_3d(basis)
+    kw = dict(tables=tables, TZ=TZ, NP=NP, n=n, nel=nel, nelz=nz - 1)
+
+    if variant == "dmaf":
+        out = pl.pallas_call(
+            partial(_kernel_folded, **kw),
+            grid=(B, ntiles),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                      pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec((1, TZ * NP, n), lambda b, t: (b, t, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, ntiles * TZ * NP, n),
+                                           u.dtype),
+            scratch_shapes=[
+                pltpu.VMEM(((TZ + 3) * NP, CP), u.dtype),
+                pltpu.VMEM(((TZ + 3) * NP, CP), u.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=int(800 * B * (nz - 1) * nel**2),
+                bytes_accessed=int(3 * 4 * B * nz * n**2),
+                transcendentals=0),
+        )(u_f, nu_f)
+    else:
+        out = pl.pallas_call(
+            partial(_kernel3d_bsf, **kw),
+            grid=(B, ntiles),
+            in_specs=[
+                pl.BlockSpec((1, pad_z * NP, CP), lambda b, t: (b, 0, 0)),
+                pl.BlockSpec((1, pad_z * NP, CP), lambda b, t: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, TZ * NP, n),
+                                   lambda b, t: (b, t, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, ntiles * TZ * NP, n),
+                                           u.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=int(800 * B * (nz - 1) * nel**2),
+                bytes_accessed=int(3 * 4 * B * nz * n**2),
+                transcendentals=0),
+        )(u_f, nu_f)
+    return out.reshape(B, ntiles * TZ, NP, n)[:, :nz, :n]
+
+
 def _stiffness3d_fwd_bs(u, nu, basis: FEMBasis, tile_z: int = 8):
     """BlockSpec-only 3D forward: grid (B, z-tiles); full padded input
     volume per program (fetched once per batch — constant index along the
@@ -238,9 +441,11 @@ def _stiffness3d_fwd_impl(u, nu, basis: FEMBasis, tile_z: int = 8,
                           variant: str = "dma"):
     if variant == "blockspec":
         return _stiffness3d_fwd_bs(u, nu, basis, tile_z)
+    if variant in ("dmaf", "bsf"):
+        return _stiffness3d_fwd_folded(u, nu, basis, tile_z, variant)
     if variant != "dma":
         raise ValueError(f"unknown kernel variant {variant!r} "
-                         "(expected 'dma' or 'blockspec')")
+                         "(expected 'dma', 'blockspec', 'dmaf' or 'bsf')")
     B, nz, n, nx = u.shape
     if n != nx:
         raise ValueError(f"3D kernel needs ny == nx, got {(n, nx)}")

@@ -362,7 +362,7 @@ def _K3_xla(u, nu, basis, n):
             + fem.galerkin_project(nug * gp["dz"], basis, "dz", (n, n, n)))
 
 
-@pytest.mark.parametrize("variant", ["dma", "blockspec"])
+@pytest.mark.parametrize("variant", ["dma", "blockspec", "dmaf", "bsf"])
 @pytest.mark.parametrize("n,tile", [(9, 8), (17, 8), (20, 16)])
 def test_stiffness3d_matches_xla(n, tile, variant):
     from diffnet_tpu.ops.poisson_residual_3d import _stiffness3d_fwd_impl
@@ -552,7 +552,7 @@ def test_stiffness3d_rectangular_z():
     nug = fem.gp_eval(nu, basis, ("N",))["N"]
     Kx = sum(fem.galerkin_project(nug * gp[d], basis, d, (nz, n, n))
              for d in ("dx", "dy", "dz"))
-    for variant in ("dma", "blockspec"):
+    for variant in ("dma", "blockspec", "dmaf", "bsf"):
         Kp = _stiffness3d_fwd_impl(u, nu, basis, 8, variant)
         np.testing.assert_allclose(np.asarray(Kp), np.asarray(Kx),
                                    atol=2e-6)
