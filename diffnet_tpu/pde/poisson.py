@@ -128,9 +128,22 @@ class _PoissonCommon:
         # (whole field per program, no manual DMA — grid-size-guarded; see
         # ops/poisson_residual.py)
         self.fused_variant = str(kwargs.get("fused_variant", "dma"))
-        if self.fused_variant not in ("dma", "blockspec"):
-            raise ValueError(f"fused_variant must be 'dma' or 'blockspec', "
-                             f"got {self.fused_variant!r}")
+        valid_variants = (("dma", "blockspec") if self.nsd == 2
+                          else ("dma", "blockspec", "dmaf", "bsf"))
+        if self.fused_variant not in valid_variants:
+            raise ValueError(f"fused_variant must be one of "
+                             f"{valid_variants}, got {self.fused_variant!r}")
+        # Single-launch fused loss+grad (ops/poisson_loss_grad.py): the
+        # whole value_and_grad of the resmin loss in ONE kernel pass
+        # (VERDICT r4 #6). Opt-in; 2D resmin without precond only.
+        self.fused_loss_grad = bool(kwargs.get("fused_loss_grad", False))
+        if self.fused_loss_grad and not (
+                self.fused_kernels and self.nsd == 2
+                and self.loss_type == "resmin"
+                and kwargs.get("precond", None) is None):
+            raise ValueError(
+                "fused_loss_grad requires fused_kernels=True, nsd=2, "
+                "loss_type='resmin' and no precond")
         if self.fused_kernels:
             supported = (self.basis.deg == 1 and self.basis.ngp_1d == 2
                          and ((self.nsd == 2
@@ -249,10 +262,15 @@ class _PoissonCommon:
                 from ..core import fem as _fem
                 from ..ops import poisson_residual_fused
                 from ..ops.poisson_residual_3d import poisson_residual_fused_3d
-                fused = (poisson_residual_fused if self.nsd == 2
-                         else poisson_residual_fused_3d)
                 Nf = _fem.galerkin_project(f_gp, self.basis, "N",
                                            u.shape[-self.nsd:])
+                if self.fused_loss_grad:
+                    from ..ops.poisson_loss_grad import (
+                        poisson_resmin_loss_fused)
+                    return poisson_resmin_loss_fused(u, nu, Nf, bc2,
+                                                     self.basis)
+                fused = (poisson_residual_fused if self.nsd == 2
+                         else poisson_residual_fused_3d)
                 R = fused(u, nu, Nf, bc2, self.basis,
                           variant=self.fused_variant)
             elif self.residual_formulation == "et":

@@ -577,3 +577,76 @@ def test_spatial_shard_map_fused_3d_equals_unsharded():
     K4 = poisson_stiffness_spatial_fused_3d(u, nu, basis, mesh,
                                             variant="blockspec", tile_z=8)
     np.testing.assert_allclose(np.asarray(K4), np.asarray(K1), atol=2e-6)
+
+
+# ---- single-launch fused loss+grad (ops/poisson_loss_grad.py) ----
+
+@pytest.mark.parametrize("n,tile", [(16, 8), (17, 8), (33, 16)])
+def test_loss_grad_fused_matches_xla(n, tile):
+    """ONE-launch value_and_grad vs the XLA resmin loss: value and all
+    three differentiable cotangents (u, nu, Nf), anisotropic h."""
+    from diffnet_tpu.ops.poisson_loss_grad import poisson_resmin_loss_fused
+
+    basis = make_basis(2, 1, h=(0.7 / (n - 1), 1.9 / (n - 1)))
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.random((2, n, n)), jnp.float32)
+    nu = jnp.asarray(rng.random((2, n, n)), jnp.float32) + 0.5
+    Nf = jnp.asarray(rng.random((2, n, n)), jnp.float32)
+    bc = (jnp.zeros((n, n)).at[0].set(1).at[-1].set(1)
+          .at[:, 0].set(1).at[:, -1].set(1))
+
+    def loss_xla(u, nu, Nf):
+        gp = fem.gp_eval(u, basis, ("dx", "dy"))
+        nug = fem.gp_eval(nu, basis, ("N",))["N"]
+        K = (fem.galerkin_project(nug * gp["dx"], basis, "dx", (n, n))
+             + fem.galerkin_project(nug * gp["dy"], basis, "dy", (n, n)))
+        R = jnp.where(bc > 0.5, 0.0, K - Nf)
+        return jnp.sum(R**2)
+
+    lx, gx = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(u, nu, Nf)
+    lf, gf = jax.value_and_grad(
+        lambda u, nu, Nf: poisson_resmin_loss_fused(u, nu, Nf, bc, basis,
+                                                    tile),
+        argnums=(0, 1, 2))(u, nu, Nf)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4 * float(jnp.max(jnp.abs(b))))
+
+
+def test_poisson_module_fused_loss_grad_matches_default():
+    from diffnet_tpu.data.single_instances import RectangleManufactured
+    from diffnet_tpu.models.field import DirectField
+    from diffnet_tpu.pde.poisson import Poisson2D
+
+    n = 17
+    ds = RectangleManufactured(domain_size=n)
+    m0 = Poisson2D(DirectField((n, n)), ds, domain_size=n,
+                   loss_type="resmin")
+    m1 = Poisson2D(DirectField((n, n)), ds, domain_size=n,
+                   loss_type="resmin", fused_kernels=True,
+                   fused_variant="blockspec", fused_loss_grad=True)
+    inputs, forcing = ds[0]
+    inputs = jnp.asarray(inputs)[None]
+    forcing = jnp.asarray(forcing)[None]
+    rng = np.random.default_rng(8)
+    u = jnp.asarray(rng.random((1, n, n)), jnp.float32)
+    l0 = float(m0.loss(u, inputs, forcing))
+    l1 = float(m1.loss(u, inputs, forcing))
+    np.testing.assert_allclose(l1, l0, rtol=1e-5)
+    g0 = jax.grad(lambda u: m0.loss(u, inputs, forcing))(u)
+    g1 = jax.grad(lambda u: m1.loss(u, inputs, forcing))(u)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-5)
+
+
+def test_fused_loss_grad_rejects_unsupported_configs():
+    from diffnet_tpu.models.field import DirectField
+    from diffnet_tpu.pde.poisson import Poisson2D
+
+    with pytest.raises(ValueError, match="fused_loss_grad"):
+        Poisson2D(DirectField((17, 17)), domain_size=17,
+                  loss_type="resmin", fused_loss_grad=True)
+    with pytest.raises(ValueError, match="fused_loss_grad"):
+        Poisson2D(DirectField((17, 17)), domain_size=17,
+                  fused_kernels=True, loss_type="energy",
+                  fused_loss_grad=True)
