@@ -1022,6 +1022,37 @@ def _steps_field_fallback():
         f"{reps_p * K / (time.perf_counter() - t0):.4g}")
     print(json.dumps(out), flush=True)
 
+    # single-launch fused loss+grad (round 5, VERDICT r4 #6): the whole
+    # value_and_grad is ONE kernel pass — no second sweep, no XLA glue
+    from diffnet_tpu.ops import poisson_resmin_loss_fused
+
+    def loss_lg(u):
+        return poisson_resmin_loss_fused(u, nu_p, Nf_p, bc_p, basis_p)
+
+    ug = jnp.asarray(rng.random((bs, np_, np_)), jnp.float32)
+    sg = opt_p.init(ug)
+
+    @jax.jit
+    def stepK_lg(u, s):
+        def body(c, _):
+            uu, ss = c
+            l, g = jax.value_and_grad(loss_lg)(uu)
+            updates, ss = opt_p.update(g, ss, uu)
+            return (optax.apply_updates(uu, updates), ss), l
+
+        (uu, ss), ls = jax.lax.scan(body, (u, s), None, length=K)
+        return uu, ss, ls[-1]
+
+    ug, sg, l = stepK_lg(ug, sg)
+    _ = float(l)
+    t0 = time.perf_counter()
+    for _ in range(reps_p):
+        ug, sg, l = stepK_lg(ug, sg)
+    _ = float(l)
+    out["train_steps_per_sec_field512_fusedlg_scan10"] = float(
+        f"{reps_p * K / (time.perf_counter() - t0):.4g}")
+    print(json.dumps(out), flush=True)
+
     # XLA A/B at the same 512^2 shape (element-tensor stencil path)
     A512 = fem.element_tensor(basis_p, ("dx", "dy"))
 
@@ -1301,6 +1332,26 @@ def _pallas_probe():
     _bank("pallas_fused_elem_per_sec_3d64_blockspec_scan",
           float(f"{bs * (n-1)**3 / t:.4g}"))
 
+    # FOLDED-Z 3D variant (round 5, VERDICT r4 #3: (z,y) collapsed into
+    # one row axis so the body runs in the 2D kernel's rank-2 regime) —
+    # A/B against the rank-3 blockspec number above
+    def body3f(carry, _):
+        R = poisson_residual_fused_3d(carry, nu, Nf, bc, basis,
+                                      variant="bsf")
+        return R * 1e-6 + carry, None
+
+    scan3f = jax.jit(lambda r: jax.lax.scan(body3f, r, None, length=10)[0])
+    r = scan3f(u)
+    _ = float(jnp.sum(r))
+    _bank("pallas_probe_bsf_3d64_ok", True)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = scan3f(r)
+    _ = float(jnp.sum(r))
+    t = (time.perf_counter() - t0) / (reps * 10)
+    _bank("pallas_fused_elem_per_sec_3d64_bsf_scan",
+          float(f"{bs * (n-1)**3 / t:.4g}"))
+
     # NS VMS blockspec attempt (the 13-GP-quantity chain in one kernel)
     from diffnet_tpu.ops import ns_vms_residual_fused
 
@@ -1376,6 +1427,24 @@ def _pallas_probe():
     _ = float(jnp.sum(r3))
     t = (time.perf_counter() - t0) / (reps * 5)
     _bank("pallas_fused_elem_per_sec_3d128_dma_scan",
+          float(f"{bs * (n-1)**3 / t:.4g}"))
+
+    # folded-z manual-DMA variant at 128^3 (round 5)
+    def body3lf(carry, _):
+        R = poisson_residual_fused_3d(carry, nu3, Nf3, bc3, basis,
+                                      variant="dmaf")
+        return R * 1e-6 + carry, None
+
+    scan3lf = jax.jit(lambda r: jax.lax.scan(body3lf, r, None, length=5)[0])
+    r3 = scan3lf(u3)
+    _ = float(jnp.sum(r3))
+    _bank("pallas_probe_dmaf_3d128_ok", True)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r3 = scan3lf(r3)
+    _ = float(jnp.sum(r3))
+    t = (time.perf_counter() - t0) / (reps * 5)
+    _bank("pallas_fused_elem_per_sec_3d128_dmaf_scan",
           float(f"{bs * (n-1)**3 / t:.4g}"))
     return out
 
