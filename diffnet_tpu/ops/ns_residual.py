@@ -188,16 +188,21 @@ def _strip_accs(u_s, v_s, p_s, fx_s, fy_s, row0,
         f1N, _, _ = eval_field(corners(fx_s), derivs=False)
         f2N, _, _ = eval_field(corners(fy_s), derivs=False)
 
-    # per-GP integrands, indexed [gx][gy]
-    i1N = [[None] * 2 for _ in range(2)]
-    i1x = [[None] * 2 for _ in range(2)]
-    i1y = [[None] * 2 for _ in range(2)]
-    i2N = [[None] * 2 for _ in range(2)]
-    i2x = [[None] * 2 for _ in range(2)]
-    i2y = [[None] * 2 for _ in range(2)]
-    i3N = [[None] * 2 for _ in range(2)]
-    i3x = [[None] * 2 for _ in range(2)]
-    i3y = [[None] * 2 for _ in range(2)]
+    # Per-GP integrands ACCUMULATED into the factorized projection
+    # partials inside the Gauss loop (round 5, VERDICT r4 #5): the
+    # previous body materialized all 9 integrand families x 4 GPs (36
+    # live strip arrays) before projecting; here each GP's integrands die
+    # within the iteration and only the partials stay live — 8 arrays per
+    # residual family (A: gx-summed N-part [gy][ib], X: gx-summed dx-part
+    # [gy], Y: gy-summed dy-part [gx]) — identical algebra and op count
+    # to the previous two-stage factorized projection.
+    A1, A2, A3 = ([[None] * 2 for _ in range(2)] for _ in range(3))
+    X1, X2, X3 = ([None] * 2 for _ in range(3))
+    Y1, Y2, Y3 = ([None] * 2 for _ in range(3))
+
+    def _acc(store, key, val):
+        store[key] = val if store[key] is None else store[key] + val
+
     for gx in (0, 1):
         for gy in (0, 1):
             uNg, vNg, pNg = uN[gx][gy], vN[gx][gy], pN[gx][gy]
@@ -216,33 +221,31 @@ def _strip_accs(u_s, v_s, p_s, fx_s, fy_s, row0,
             t12 = tm1 * tm2
             tcd = tauc * div
 
-            i1N[gx][gy] = adv1 - (f1N[gx][gy] if has_f else 0.0) \
+            i1N = adv1 - (f1N[gx][gy] if has_f else 0.0) \
                 - tm1 * uxg - tm2 * uyg
-            i1x[gx][gy] = visco * uxg - pNg + uNg * tm1 - tm1 * tm1 + tcd
-            i1y[gx][gy] = visco * uyg + vNg * tm1 - t12
-            i2N[gx][gy] = adv2 - (f2N[gx][gy] if has_f else 0.0) \
+            i2N = adv2 - (f2N[gx][gy] if has_f else 0.0) \
                 - tm1 * vxg - tm2 * vyg
-            i2x[gx][gy] = visco * vxg + uNg * tm2 - t12
-            i2y[gx][gy] = visco * vyg - pNg + vNg * tm2 - tm2 * tm2 + tcd
-            i3N[gx][gy] = div
-            i3x[gx][gy] = tm1
-            i3y[gx][gy] = tm2
+            for ib in (0, 1):
+                c = cN[gx][ib]
+                _acc(A1[gy], ib, c * i1N)
+                _acc(A2[gy], ib, c * i2N)
+                _acc(A3[gy], ib, c * div)
+            _acc(X1, gy, visco * uxg - pNg + uNg * tm1 - tm1 * tm1 + tcd)
+            _acc(X2, gy, visco * vxg + uNg * tm2 - t12)
+            _acc(X3, gy, tm1)
+            _acc(Y1, gx, visco * uyg + vNg * tm1 - t12)
+            _acc(Y2, gx, visco * vyg - pNg + vNg * tm2 - tm2 * tm2 + tcd)
+            _acc(Y3, gx, tm2)
 
-    # factorized Galerkin projection of (iN, ix, iy) onto the 4 Q1 test
-    # functions: N part via two 1D Gauss passes; dx/dy parts collapse
-    # across their constant axis to a single sum + 1D pass, then enter
-    # with the +-1/h sign of the test corner.
+    # projection tail: N part via the second 1D Gauss pass; dx/dy parts
+    # enter with the +-1/h sign of the test corner.
     Wx, Wy = W * inv_hx, W * inv_hy
 
-    def project(iN, ix, iy):
-        A = [[cN[0][ib] * iN[0][gy] + cN[1][ib] * iN[1][gy]
-              for ib in (0, 1)] for gy in (0, 1)]
+    def project(A, X, Y):
         accN = [[(W * cN[0][jb]) * A[0][ib] + (W * cN[1][jb]) * A[1][ib]
                  for ib in (0, 1)] for jb in (0, 1)]
-        X = [ix[0][gy] + ix[1][gy] for gy in (0, 1)]       # sum over gx
         Cj = [(Wx * cN[0][jb]) * X[0] + (Wx * cN[1][jb]) * X[1]
               for jb in (0, 1)]
-        Y = [iy[gx][0] + iy[gx][1] for gx in (0, 1)]       # sum over gy
         Di = [(Wy * cN[0][ib]) * Y[0] + (Wy * cN[1][ib]) * Y[1]
               for ib in (0, 1)]
         return [accN[0][0] - Cj[0] - Di[0],
@@ -250,9 +253,9 @@ def _strip_accs(u_s, v_s, p_s, fx_s, fy_s, row0,
                 accN[1][0] - Cj[1] + Di[0],
                 accN[1][1] + Cj[1] + Di[1]]
 
-    acc1 = project(i1N, i1x, i1y)
-    acc2 = project(i2N, i2x, i2y)
-    acc3 = project(i3N, i3x, i3y)
+    acc1 = project(A1, X1, Y1)
+    acc2 = project(A2, X2, Y2)
+    acc3 = project(A3, X3, Y3)
     return acc1, acc2, acc3, valid
 
 
