@@ -1532,6 +1532,25 @@ def _stencil_apply_probe():
     t = (time.perf_counter() - t0) / (reps * K)
     _bank("pallas_stencil_apply_elem_per_sec_3d128_dma_scan",
           float(f"{bs * (n-1)**3 / t:.4g}"))
+
+    # folded-z 3D apply (round 5): all 27 gather windows as rank-2 row
+    # slices — A/B against the rank-3 tier above
+    def body3f(C, carry, _):
+        return stencil_apply(C, carry, 3, None, "dmaf") * 1e-6 \
+            + carry, None
+
+    scan3f = jax.jit(lambda r, C: jax.lax.scan(
+        functools.partial(body3f, C), r, None, length=K)[0])
+    r3 = scan3f(u3, C3)
+    _ = float(jnp.sum(r3))
+    _bank("pallas_stencil_apply_dmaf_3d128_ok", True)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r3 = scan3f(r3, C3)
+    _ = float(jnp.sum(r3))
+    t = (time.perf_counter() - t0) / (reps * K)
+    _bank("pallas_stencil_apply_elem_per_sec_3d128_dmaf_scan",
+          float(f"{bs * (n-1)**3 / t:.4g}"))
     return out
 
 

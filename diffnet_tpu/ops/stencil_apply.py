@@ -295,6 +295,115 @@ def _kernel3d_dma(c_hbm, u_hbm, out_ref, c_s, u_s, sems, *, TZ, ny, ncols):
     out_ref[0] = _apply_slab_3d(u_s[slot], c_s[slot], TZ, ny, ncols)
 
 
+def _kernel3d_dmaf(c_hbm, u_hbm, out_ref, c_s, u_s, sems, *, TZ, NY,
+                   ncols):
+    """FOLDED-Z 3D apply (round 5, same move as the nu-form kernel's
+    dmaf): (z, y) pre-folded on the host into one row axis with a COMMON
+    stride NY for u, C and out, so each of the 27 gather windows is a
+    plain row slice ``uf[dz*NY + dy + r]`` of a rank-2 array — no
+    doubly-misaligned rank-3 windows. Double-buffered as the rank-3
+    variant."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    nb = pl.num_programs(0)
+    flat = b * nt + t
+
+    def dmas(slot, bb, tt):
+        r0 = tt * TZ * NY
+        cps = [pltpu.make_async_copy(
+            c_hbm.at[m, bb, pl.ds(r0, TZ * NY)], c_s.at[slot, m],
+            sems.at[slot, m]) for m in range(27)]
+        # +1 plane: the contiguous row window of the (dz=2, dy=2) slice
+        # ends 2 rows past the (TZ+2)-plane halo (those rows only pair
+        # with zero C on garbage out rows, but the buffer must exist)
+        cps.append(pltpu.make_async_copy(
+            u_hbm.at[bb, pl.ds(r0, (TZ + 3) * NY)], u_s.at[slot],
+            sems.at[slot, 27]))
+        return cps
+
+    slot = jax.lax.rem(flat, 2)
+
+    @pl.when(flat == 0)
+    def _():
+        for c in dmas(slot, b, t):
+            c.start()
+
+    nxt = flat + 1
+
+    @pl.when(nxt < nb * nt)
+    def _():
+        for c in dmas(jax.lax.rem(nxt, 2), jax.lax.div(nxt, nt),
+                      jax.lax.rem(nxt, nt)):
+            c.start()
+
+    for c in dmas(slot, b, t):
+        c.wait()
+
+    uf = u_s[slot]
+    cf = c_s[slot]
+    M = TZ * NY
+    acc = None
+    for dx in range(3):
+        uw = uf[:, dx:dx + ncols]            # lane shift, built once
+        for dz in range(3):
+            for dy in range(3):
+                m = (dz * 3 + dy) * 3 + dx
+                term = (cf[m, :, :ncols]
+                        * uw[dz * NY + dy: dz * NY + dy + M])
+                acc = term if acc is None else acc + term
+    out_ref[0] = acc
+
+
+def _apply3d_fwd_folded(C, u, tile_z: int | None):
+    """Forward for the folded 3D apply: pad y to the COMMON 8-aligned
+    stride NY >= ny+2 for u (1-node halo), C and out, fold (z, y) with a
+    host-side reshape, unfold the result. Folded C rows y >= ny are
+    zero planes, so garbage out rows are exact zeros."""
+    B, nz, ny, ncols = u.shape
+    NY = -(-(ny + 2) // 8) * 8
+    CP = -(-ncols // 128) * 128
+    CPu = CP + 128
+    TZ = tile_z or _tile_planes_3d(nz, NY, ncols, u.dtype.itemsize)
+    TZ = min(TZ, nz)
+    ntiles = -(-nz // TZ)
+    planes_pad = ntiles * TZ + 3
+    # u: (z, y) origins shifted by the 1-node halo — real (z', y') lives
+    # at folded row (z'+1)*NY + (y'+1); neighbor (dz, dy) of out node
+    # (z, y) is then folded row (z*NY + y) + dz*NY + dy
+    u_p = jnp.pad(u, ((0, 0), (1, planes_pad - nz - 1),
+                      (1, NY - ny - 1), (1, CPu - ncols - 1)))
+    u_f = u_p.reshape(B, planes_pad * NY, CPu)
+    C_p = jnp.pad(C, ((0, 0), (0, 0), (0, ntiles * TZ - nz),
+                      (0, NY - ny), (0, CP - ncols)))
+    C_f = C_p.reshape(C.shape[0], B, ntiles * TZ * NY, CP)
+
+    out = pl.pallas_call(
+        partial(_kernel3d_dmaf, TZ=TZ, NY=NY, ncols=ncols),
+        grid=(B, ntiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, TZ * NY, ncols),
+                               lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, ntiles * TZ * NY, ncols),
+                                       u.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 27, TZ * NY, CP), u.dtype),
+            pltpu.VMEM((2, (TZ + 3) * NY, CPu), u.dtype),
+            pltpu.SemaphoreType.DMA((2, 28)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(54 * B * nz * ny * ncols),
+            bytes_accessed=int(29 * u.dtype.itemsize * B * nz * ny
+                               * ncols),
+            transcendentals=0),
+    )(C_f, u_f)
+    return out.reshape(B, ntiles * TZ, NY, ncols)[:, :nz, :ny]
+
+
 def _tile_planes_3d(nz, ny, ncols, itemsize, budget=9 * 2**20):
     """Largest z-tile whose double-buffered 27 C slabs + u slabs fit the
     budget (z is a pure major dim — no alignment constraint)."""
@@ -308,10 +417,13 @@ def _tile_planes_3d(nz, ny, ncols, itemsize, budget=9 * 2**20):
 
 
 def _apply3d_fwd(C, u, tile_z: int | None, variant: str):
+    if variant == "dmaf":
+        return _apply3d_fwd_folded(C, u, tile_z)
     if variant != "dma":
-        raise ValueError("3D stencil apply ships the dma variant only "
-                         "(27 coefficient slabs never fit a full-volume "
-                         f"blockspec pipeline); got {variant!r}")
+        raise ValueError("3D stencil apply ships the 'dma' and folded-z "
+                         "'dmaf' variants only (27 coefficient slabs "
+                         "never fit a full-volume blockspec pipeline); "
+                         f"got {variant!r}")
     B, nz, ny, ncols = u.shape
     TZ = tile_z or _tile_planes_3d(nz, ny, ncols, u.dtype.itemsize)
     TZ = min(TZ, nz)

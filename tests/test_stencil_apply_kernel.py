@@ -44,14 +44,15 @@ def test_apply_2d_matches_matvec(B, ny, nx, tile, variant):
                                atol=2e-6)
 
 
+@pytest.mark.parametrize("variant", ["dma", "dmaf"])
 @pytest.mark.parametrize("B,nz,ny,nx,tile", [
     (2, 9, 9, 9, 4), (1, 8, 12, 20, None)])
-def test_apply_3d_matches_matvec(B, nz, ny, nx, tile):
+def test_apply_3d_matches_matvec(B, nz, ny, nx, tile, variant):
     rng = np.random.default_rng(1)
     C = _rand(rng, (27, B, nz, ny, nx))
     u = _rand(rng, (B, nz, ny, nx))
     want = stencil_matvec(C, u, nsd=3)
-    got = stencil_apply(C, u, 3, tile, "dma")
+    got = stencil_apply(C, u, 3, tile, variant)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-6)
 
@@ -125,7 +126,7 @@ def test_blockspec_guard_and_3d_variant_guard():
         stencil_apply(C, u, 2, None, "blockspec")
     C3 = _rand(rng, (27, 1, 8, 8, 8))
     u3 = _rand(rng, (1, 8, 8, 8))
-    with pytest.raises(ValueError, match="dma variant only"):
+    with pytest.raises(ValueError, match="variants only"):
         stencil_apply(C3, u3, 3, None, "blockspec")
 
 
