@@ -43,6 +43,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..core import fem
 from ..core.quadrature import FEMBasis
@@ -52,14 +53,7 @@ from .poisson_residual import (_build_tables_sep, _strip_lr,
 __all__ = ["poisson_resmin_loss_fused"]
 
 
-def _combine(left, right, ncols, nel_cols):
-    """Assemble the left/right column contributions into one
-    (rows, ncols) value (value-level pads — no RMW ref stores)."""
-    return (jnp.pad(left, ((0, 0), (0, ncols - nel_cols)))
-            + jnp.pad(right, ((0, 0), (1, ncols - nel_cols - 1))))
-
-
-def _kernel_lg(u_ref, nu_ref, nf_ref, bc_ref, out_ref, loss_ref, *,
+def _kernel_lg(u_ref, nu_ref, nf_ref, bc_ref, out_ref, loss_ref, r_s, *,
                tables, TY, ntiles, nrows, ncols, nel_rows, nel_cols):
     acc = jnp.zeros((), u_ref.dtype)
     for t in range(ntiles):
@@ -70,8 +64,13 @@ def _kernel_lg(u_ref, nu_ref, nf_ref, bc_ref, out_ref, loss_ref, *,
         nuslab = nu_ref[0, r0: r0 + TY + 4, :]
         lf, rt = _strip_lr(uslab, nuslab, r0 - 1, tables, TY + 2,
                            nel_rows, nel_cols)
-        Rv = _combine(lf, rt, ncols, nel_cols)
-        Rs = ((Rv - nf_ref[0, r0 + 1: r0 + TY + 3, :ncols])
+        # assemble the R strip in the VMEM scratch (ref stores — a
+        # value-level pad/concat of offset-layout vectors is a Mosaic
+        # NotImplemented), then read it back as a clean-layout value
+        r_s[...] = jnp.zeros(r_s.shape, u_ref.dtype)
+        r_s[:, :nel_cols] = lf
+        r_s[:, 1:ncols] = r_s[:, 1:ncols] + rt
+        Rs = ((r_s[:, :ncols] - nf_ref[0, r0 + 1: r0 + TY + 3, :ncols])
               * (1.0 - bc_ref[0, r0 + 1: r0 + TY + 3, :ncols]))
         # loss: owned rows [r0, r0+TY), masked past the real field
         own = Rs[1: TY + 1]
@@ -84,8 +83,10 @@ def _kernel_lg(u_ref, nu_ref, nf_ref, bc_ref, out_ref, loss_ref, *,
         # element rows the domain mask kills)
         glf, grt = _strip_lr(Rs, nuslab[1: TY + 3], r0, tables, TY,
                              nel_rows, nel_cols)
-        out_ref[0, r0: r0 + TY, :] = 2.0 * _combine(glf, grt, ncols,
-                                                    nel_cols)
+        out_ref[0, r0: r0 + TY, :] = jnp.zeros((TY, ncols), u_ref.dtype)
+        out_ref[0, r0: r0 + TY, :nel_cols] = 2.0 * glf
+        out_ref[0, r0: r0 + TY, 1:] = (out_ref[0, r0: r0 + TY, 1:]
+                                       + 2.0 * grt)
     loss_ref[0] = jnp.zeros((8, 128), u_ref.dtype).at[0, 0].set(acc)
 
 
@@ -129,6 +130,7 @@ def _loss_grad_impl(u, nu, Nf, bc_mask, basis: FEMBasis, tile_y: int):
             jax.ShapeDtypeStruct((B, ntiles * TY, ncols), u.dtype),
             jax.ShapeDtypeStruct((B, 8, 128), u.dtype),
         ],
+        scratch_shapes=[pltpu.VMEM((TY + 2, CP), u.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=int(220 * B * nel_rows * nel_cols),
             bytes_accessed=int(5 * 4 * B * nrows * ncols),
