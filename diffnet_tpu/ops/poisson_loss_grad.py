@@ -87,7 +87,12 @@ def _kernel_lg(u_ref, nu_ref, nf_ref, bc_ref, out_ref, loss_ref, r_s, *,
         out_ref[0, r0: r0 + TY, :nel_cols] = 2.0 * glf
         out_ref[0, r0: r0 + TY, 1:] = (out_ref[0, r0: r0 + TY, 1:]
                                        + 2.0 * grt)
-    loss_ref[0] = jnp.zeros((8, 128), u_ref.dtype).at[0, 0].set(acc)
+    # one-hot write of the scalar (a .at[0,0].set is a `scatter` — not
+    # lowerable by Mosaic)
+    oh = jnp.logical_and(
+        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0,
+        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0)
+    loss_ref[0] = jnp.where(oh, acc, jnp.zeros((), u_ref.dtype))
 
 
 def _loss_grad_impl(u, nu, Nf, bc_mask, basis: FEMBasis, tile_y: int):

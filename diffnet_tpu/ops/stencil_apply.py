@@ -162,11 +162,14 @@ def _kernel2d_bs(c_ref, u_ref, out_ref, *, TY, ncols):
                                  c_ref[:, 0], TY, ncols)
 
 
-def _tile_rows_2d(nrows, ncols, itemsize, budget=8 * 2**20):
+def _tile_rows_2d(nrows, ncols, itemsize, budget=12 * 2**20):
     """Largest 8-multiple tile height whose double-buffered 9-plane C
-    strips + u strips fit the VMEM byte budget."""
+    strips + u strips fit the VMEM byte budget. Cap 256 (round 5: at
+    512^2/bs32 the apply measured ~11.5 us per grid step against ~3 us
+    of DMA — fixed per-step overhead dominates, so fewer, fatter tiles
+    win; compute per node is only 9 FMA)."""
     CP = -(-ncols // 128) * 128
-    TY = min(128, -(-nrows // 8) * 8)
+    TY = min(256, -(-nrows // 8) * 8)
     while TY > 8 and 2 * (9 * TY + (TY + 8)) * CP * itemsize > budget:
         TY //= 2
     return TY
