@@ -37,6 +37,11 @@ STATUS: interpret-mode validated against the XLA path (values and VJP —
 tests/test_pallas_kernel.py). On-chip (round 3-4): the blockspec variant
 runs at 256^2 (~2x the XLA path pre-factorization; bench.py pallas-probe
 NS tiers). Round 4: the body is sum-factorized (see `_strip_accs`).
+Round 5: the projection partials are accumulated inside the Gauss loop
+(36 -> 8 live integrand slabs/family) — measured on-chip at 4.88e8
+elem/s, the SAME 4.7-5.4e8 band: arithmetic (r4) and the integrand
+live set (r5) are both ruled out as the limiter; what remains is the
+3-residual output pipeline / per-grid-step overhead class.
 """
 
 from __future__ import annotations

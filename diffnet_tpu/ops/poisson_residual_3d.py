@@ -22,13 +22,15 @@ Deg-1 (trilinear, 2x2x2 Gauss) only — the configuration of every 3D
 reference workload. Differentiable via custom VJP (self-adjoint in u; one
 Galerkin projection for d/d(nu)), mirroring the 2D kernel.
 
-STATUS (round 4): interpret-mode validated against the XLA path (values +
-VJPs, tests/test_pallas_kernel.py) and measured on-chip: ~8.3e8 elem/s
-scan-chained at 64^3 (blockspec), ~9e8 at 128^3 (dma) — see
-BENCH_MEASURED.md. The slab body is sum-factorized and z-vectorized;
-the residual ~4x gap to the 2D kernel's vector-op rate is not arithmetic
-or z-serialization (both were fixed with little effect) — likely the
-doubly-misaligned corner windows + read-modify-write assembly.
+STATUS (round 5): interpret-mode validated against the XLA path (values +
+VJPs, tests/test_pallas_kernel.py); on-chip: rank-3 slab body ~8.3e8
+elem/s at 64^3 / ~9e8 at 128^3 (round 4). The round-4 diagnosis (the
+doubly-misaligned corner windows + read-modify-write assembly, not
+arithmetic) is CONFIRMED on-chip by the round-5 FOLDED-Z variants
+('dmaf'/'bsf', `_slab_assemble_folded`): (z, y) collapsed into one row
+axis -> rank-2 body, corner views as row slices, no RMW scatter —
+**+39% same-window at 64^3** (9.48e8 bsf vs 6.81e8 blockspec,
+BENCH_MEASURED.md). Fold the default once 128^3 numbers confirm.
 """
 
 from __future__ import annotations
