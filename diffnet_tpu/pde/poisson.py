@@ -127,7 +127,11 @@ class _PoissonCommon:
         # kernel structure: 'dma' (manual halo-strip copies) or 'blockspec'
         # (whole field per program, no manual DMA — grid-size-guarded; see
         # ops/poisson_residual.py)
-        self.fused_variant = str(kwargs.get("fused_variant", "dma"))
+        # 3D default is the FOLDED-Z body (round 5: +39% over the rank-3
+        # slab body same-window on-chip at the reference's 64^3 scale —
+        # BENCH_MEASURED.md); 2D keeps 'dma'
+        self.fused_variant = str(kwargs.get(
+            "fused_variant", "dma" if self.nsd == 2 else "dmaf"))
         valid_variants = (("dma", "blockspec") if self.nsd == 2
                           else ("dma", "blockspec", "dmaf", "bsf"))
         if self.fused_variant not in valid_variants:
